@@ -1,0 +1,175 @@
+"""Public rasterization API: project -> SH -> tile rasterize.
+
+Mirrors the surface of `gsplat.rasterization(...)` that the reference
+exercises (freegaussian_model.py:847-868, freegaussian_control_model.py:158-179,
+preprocess/knn_gaussian.py:93-113):
+
+  render, alpha, info = rasterization(
+      means, quats, scales, opacities, colors, viewmats, Ks, width, height,
+      tile_size=16, near_plane=0.01, far_plane=1e10,
+      render_mode in {"RGB", "RGB+ED", "ED"}, sh_degree, absgrad,
+      rasterize_mode in {"classic", "antialiased"})
+
+with info = {means2d, radii, depths, gaussian_ids (packed consumers)}.
+
+TPU-first design notes:
+  - Everything is functional and jit-friendly: no dynamic shapes. Culling is a
+    radii==0 mask, not an array resize, so padded-capacity Gaussian sets
+    (densification) trace once.
+  - `absgrad` is exposed through an explicit `means2d_sink` input: the custom
+    backward of the tile rasterizer returns the per-tile |grad| accumulation as
+    the cotangent of that input, so one jax.grad call yields both the signed
+    gradients and the AbsGS densification statistic.
+  - backend="reference" is the pure-jnp oracle; backend="pallas" is the fused
+    tile kernel (ops/rasterize_pallas.py); "auto" picks pallas on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import project_gaussians
+from .rasterize_ref import rasterize_pixels_reference
+from .sh import eval_sh_colors
+
+
+class RasterizeInfo(NamedTuple):
+    means2d: jax.Array  # (N, 2) projected centers (+ sink for absgrad)
+    radii: jax.Array  # (N,) int32
+    depths: jax.Array  # (N,)
+    conics: jax.Array  # (N, 3)
+    compensations: jax.Array  # (N,)
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    platform = jax.devices()[0].platform
+    return "pallas" if platform == "tpu" else "reference"
+
+
+def rasterization(
+    means: jax.Array,  # (N, 3)
+    quats: jax.Array,  # (N, 4) wxyz
+    scales: jax.Array,  # (N, 3) linear-space
+    opacities: jax.Array,  # (N,) post-sigmoid
+    colors: jax.Array,  # (N, C) precomputed or (N, K, 3) SH coefficients
+    viewmats: jax.Array,  # (1, 4, 4) or (4, 4) world-to-camera
+    Ks: jax.Array,  # (1, 3, 3) or (3, 3)
+    width: int,
+    height: int,
+    *,
+    tile_size: int = 16,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    render_mode: str = "RGB",
+    sh_degree: int | None = None,
+    absgrad: bool = False,
+    rasterize_mode: str = "classic",
+    radius_clip: float = 0.0,
+    alive: jax.Array | None = None,
+    means2d_sink: jax.Array | None = None,
+    backend: str = "auto",
+):
+    """Render N Gaussians through one camera.
+
+    Returns (render (1, H, W, C_out), alpha (1, H, W, 1), info: RasterizeInfo).
+    For "RGB+ED" the last channel is expected depth (accumulated depth
+    normalized by alpha); for "ED" the single channel is expected depth.
+    """
+    if rasterize_mode not in ("classic", "antialiased"):
+        raise ValueError(f"Unknown rasterize_mode: {rasterize_mode}")
+    if render_mode not in ("RGB", "RGB+ED", "ED"):
+        raise ValueError(f"Unknown render_mode: {render_mode}")
+    backend = _resolve_backend(backend)
+
+    viewmat = viewmats.reshape(-1, 4, 4)[0]
+    K = Ks.reshape(-1, 3, 3)[0]
+
+    proj = project_gaussians(
+        means,
+        quats,
+        scales,
+        viewmat,
+        K,
+        width,
+        height,
+        near_plane=near_plane,
+        far_plane=far_plane,
+        radius_clip=radius_clip,
+        calc_compensations=(rasterize_mode == "antialiased"),
+        alive=alive,
+    )
+
+    means2d = proj.means2d
+    if means2d_sink is not None:
+        # Zero-valued input whose custom-VJP cotangent carries the absgrad
+        # statistic (and whose autodiff cotangent is the plain screen grad).
+        means2d = means2d + means2d_sink
+
+    if sh_degree is not None:
+        camtoworld_pos = -viewmat[:3, :3].T @ viewmat[:3, 3]
+        dirs = means - camtoworld_pos
+        rgb = eval_sh_colors(colors, dirs, sh_degree)
+        rgb = jnp.clip(rgb + 0.5, 0.0, None)
+    else:
+        rgb = colors
+    if rgb.ndim == 3:  # (N, K, 3) with sh_degree None should not happen
+        rgb = rgb[:, 0, :]
+
+    opac = opacities
+    if rasterize_mode == "antialiased":
+        opac = opac * proj.compensations
+
+    if render_mode == "RGB":
+        channels = rgb
+    elif render_mode == "RGB+ED":
+        channels = jnp.concatenate([rgb, proj.depths[:, None]], axis=-1)
+    else:  # ED
+        channels = proj.depths[:, None]
+
+    if backend == "reference":
+        render, alpha, _ = rasterize_pixels_reference(
+            means2d,
+            proj.conics,
+            channels,
+            opac,
+            proj.depths,
+            proj.radii,
+            width,
+            height,
+            tile_size=tile_size,
+        )
+    elif backend == "pallas":
+        from .rasterize_pallas import rasterize_pixels_pallas
+
+        render, alpha = rasterize_pixels_pallas(
+            means2d,
+            proj.conics,
+            channels,
+            opac,
+            proj.depths,
+            proj.radii,
+            width,
+            height,
+            tile_size=tile_size,
+        )
+    else:
+        raise ValueError(f"Unknown backend: {backend}")
+
+    if render_mode in ("RGB+ED", "ED"):
+        # Expected depth: normalize the accumulated depth channel by alpha.
+        depth = render[..., -1:] / jnp.clip(alpha, 1e-10, None)
+        render = jnp.concatenate([render[..., :-1], depth], axis=-1)
+
+    info = RasterizeInfo(
+        means2d=means2d,
+        radii=proj.radii,
+        depths=proj.depths,
+        conics=proj.conics,
+        compensations=proj.compensations,
+    )
+    return render[None], alpha[None], info
