@@ -112,7 +112,7 @@ def rasterize_pixels_reference(
         excl_T = incl_T / one_minus  # T before compositing n (alpha<=0.999 => safe)
         # Early termination: the first Gaussian whose inclusion would push T
         # below the threshold terminates the pixel and is itself skipped.
-        terminated = jax.lax.cummax((incl_T <= TRANSMITTANCE_EPS).astype(jnp.int32), axis=-1) > 0
+        terminated = jax.lax.cummax((incl_T <= TRANSMITTANCE_EPS).astype(jnp.int32), axis=1) > 0
         w = jnp.where(vis & ~terminated, alpha_eff * excl_T, 0.0)  # (P, N)
 
         render = w @ colors_s  # (P, C)

@@ -1,0 +1,263 @@
+"""Oracle rasterizer tests: analytic compositing cases, tile-binning
+semantics, termination, and finite-difference gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from freegaussian_tpu.ops.rasterize_ref import rasterize_pixels_reference
+from freegaussian_tpu.ops.rasterize import rasterization
+from freegaussian_tpu.ops.tiles import build_intersections
+
+
+def single_gaussian(px=32.5, py=24.5, var=9.0, opac=0.8, color=(1.0, 0.5, 0.25)):
+    means2d = jnp.array([[px, py]])
+    conics = jnp.array([[1.0 / var, 0.0, 1.0 / var]])
+    colors = jnp.array([color])
+    opacities = jnp.array([opac])
+    depths = jnp.array([2.0])
+    radii = jnp.array([int(np.ceil(3 * np.sqrt(var)))], dtype=jnp.int32)
+    return means2d, conics, colors, opacities, depths, radii
+
+
+def test_single_gaussian_alpha_profile():
+    args = single_gaussian()
+    render, alpha, _ = rasterize_pixels_reference(*args, 64, 48)
+    # At the Gaussian center pixel (32, 24): pixel center (32.5, 24.5), sigma=0.
+    np.testing.assert_allclose(alpha[24, 32, 0], 0.8, atol=1e-6)
+    np.testing.assert_allclose(render[24, 32], 0.8 * np.array([1.0, 0.5, 0.25]), atol=1e-6)
+    # One pixel to the right: sigma = 0.5 / var.
+    expected = 0.8 * np.exp(-0.5 / 9.0)
+    np.testing.assert_allclose(alpha[24, 33, 0], expected, atol=1e-6)
+
+
+def test_occlusion_order_front_to_back():
+    means2d = jnp.array([[8.5, 8.5], [8.5, 8.5]])
+    conics = jnp.tile(jnp.array([[1.0, 0.0, 1.0]]), (2, 1))
+    colors = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    opacities = jnp.array([0.6, 0.6])
+    depths = jnp.array([3.0, 1.0])  # green is closer
+    radii = jnp.array([5, 5], dtype=jnp.int32)
+    render, alpha, _ = rasterize_pixels_reference(
+        means2d, conics, colors, opacities, depths, radii, 16, 16
+    )
+    # Green composites first: w_green = 0.6, w_red = 0.6 * 0.4
+    np.testing.assert_allclose(render[8, 8], [0.24, 0.6, 0.0], atol=1e-6)
+    np.testing.assert_allclose(alpha[8, 8, 0], 0.84, atol=1e-6)
+
+
+def test_alpha_below_threshold_skipped():
+    args = list(single_gaussian(opac=1.0 / 255.0 * 0.9))
+    render, alpha, _ = rasterize_pixels_reference(*args, 64, 48)
+    assert float(jnp.max(alpha)) == 0.0
+
+
+def test_alpha_cap_at_0999():
+    means2d, conics, colors, opac, depths, radii = single_gaussian(opac=0.99999)
+    # conic with tiny sigma -> alpha would exceed 0.999 without the cap
+    render, alpha, _ = rasterize_pixels_reference(
+        means2d, conics, colors, jnp.array([5.0]), depths, radii, 64, 48
+    )
+    np.testing.assert_allclose(alpha[24, 32, 0], 0.999, atol=1e-6)
+
+
+def test_early_termination():
+    """Stacked opaque Gaussians: once T <= 1e-4, later ones don't composite."""
+    n = 10
+    means2d = jnp.tile(jnp.array([[8.5, 8.5]]), (n, 1))
+    conics = jnp.tile(jnp.array([[0.01, 0.0, 0.01]]), (n, 1))
+    colors = jnp.ones((n, 1))
+    opacities = jnp.full((n,), 0.999)
+    depths = jnp.arange(1.0, n + 1.0)
+    radii = jnp.full((n,), 40, dtype=jnp.int32)
+    render, alpha, _ = rasterize_pixels_reference(
+        means2d, conics, colors, opacities, depths, radii, 16, 16
+    )
+    # T after k gaussians = 1e-3^k; termination when next_T <= 1e-4 => exactly
+    # 2 composite (T=1e-6 < 1e-4 would be the 2nd... check: after 1: T=1e-3 >
+    # 1e-4 composite; composing 2nd gives next_T=1e-6 <= 1e-4 -> 2nd skipped.
+    expected_alpha = 0.999  # only the first one composites
+    np.testing.assert_allclose(alpha[8, 8, 0], expected_alpha, atol=1e-6)
+
+
+def test_tile_binning_limits_contribution():
+    """A Gaussian whose radius doesn't reach a tile contributes nothing there,
+    even where exp(-sigma) is non-negligible."""
+    # radius 4 => only tiles overlapping [12-4, 12+4] get contributions
+    means2d = jnp.array([[12.5, 12.5]])
+    conics = jnp.array([[0.001, 0.0, 0.001]])  # huge spatial support
+    colors = jnp.ones((1, 1))
+    opacities = jnp.array([0.9])
+    depths = jnp.array([1.0])
+    radii = jnp.array([3], dtype=jnp.int32)
+    render, alpha, _ = rasterize_pixels_reference(
+        means2d, conics, colors, opacities, depths, radii, 32, 32, tile_size=16
+    )
+    # Tile (0,0) covers x,y in [0,16): gets contribution. Tile (1,1) does not.
+    assert float(alpha[8, 8, 0]) > 0.8
+    assert float(alpha[24, 24, 0]) == 0.0
+
+
+def _sequential_compositor(means2d, conics, colors, opacities, depths, radii, width, height, tile_size=16):
+    """Independent oracle: per-pixel sequential scan compositor matching the
+    CUDA loop semantics literally (continue/break), for primal+grad checks."""
+    from freegaussian_tpu.ops.rasterize_ref import (
+        ALPHA_THRESHOLD, MAX_ALPHA, TRANSMITTANCE_EPS, depth_sort_order, tile_bounds,
+    )
+
+    tiles_w = -(-width // tile_size)
+    tiles_h = -(-height // tile_size)
+    order = depth_sort_order(depths, radii)
+    m, c, col, op, r = (means2d[order], conics[order], colors[order], opacities[order], radii[order])
+    tminx, tmaxx, tminy, tmaxy = tile_bounds(m, r, tile_size, tiles_w, tiles_h)
+    valid = r > 0
+
+    def pixel(px, py, tx, ty):
+        def step(carry, inp):
+            T, done, acc, acc_a = carry
+            mm, cc, ccol, oo, vld, tnx, tmx, tny, tmy = inp
+            dx = mm[0] - px
+            dy = mm[1] - py
+            sigma = 0.5 * (cc[0] * dx * dx + cc[2] * dy * dy) + cc[1] * dx * dy
+            alpha = jnp.minimum(MAX_ALPHA, oo * jnp.exp(-sigma))
+            in_tile = (tx >= tnx) & (tx < tmx) & (ty >= tny) & (ty < tmy)
+            vis = vld & in_tile & (sigma >= 0) & (alpha >= ALPHA_THRESHOLD) & ~done
+            next_T = T * (1 - alpha)
+            terminate = vis & (next_T <= TRANSMITTANCE_EPS)
+            comp = vis & ~terminate
+            w = jnp.where(comp, alpha * T, 0.0)
+            acc = acc + w * ccol
+            acc_a = acc_a + w
+            T = jnp.where(comp, next_T, T)
+            done = done | terminate
+            return (T, done, acc, acc_a), None
+
+        init = (jnp.float32(1.0), jnp.asarray(False), jnp.zeros(colors.shape[-1]), jnp.float32(0.0))
+        (T, done, acc, acc_a), _ = jax.lax.scan(
+            step, init, (m, c, col, op, valid, tminx, tmaxx, tminy, tmaxy)
+        )
+        return acc, acc_a
+
+    ys, xs = jnp.meshgrid(jnp.arange(height), jnp.arange(width), indexing="ij")
+    px = (xs + 0.5).astype(jnp.float32).reshape(-1)
+    py = (ys + 0.5).astype(jnp.float32).reshape(-1)
+    tx = (xs // tile_size).astype(jnp.int32).reshape(-1)
+    ty = (ys // tile_size).astype(jnp.int32).reshape(-1)
+    acc, acc_a = jax.vmap(pixel)(px, py, tx, ty)
+    return acc.reshape(height, width, -1), acc_a.reshape(height, width, 1)
+
+
+def test_gradients_vs_sequential_compositor():
+    """The vectorized cumprod formulation must match a literal sequential
+    compositor in both primal and autodiff gradients."""
+    key = jax.random.PRNGKey(0)
+    n = 24
+    means2d = jax.random.uniform(key, (n, 2)) * 16
+    conics = jnp.tile(jnp.array([[0.3, 0.05, 0.25]]), (n, 1))
+    colors = jax.random.uniform(jax.random.PRNGKey(1), (n, 3))
+    opacities = jax.random.uniform(jax.random.PRNGKey(3), (n,)) * 0.9
+    depths = jnp.linspace(1.0, 2.0, n)
+    radii = jnp.full((n,), 10, dtype=jnp.int32)
+    target = jax.random.uniform(jax.random.PRNGKey(2), (16, 16, 3))
+
+    def loss_ref(m, c, col, op):
+        render, alpha, _ = rasterize_pixels_reference(m, c, col, op, depths, radii, 16, 16)
+        return jnp.sum((render - target) ** 2) + 0.1 * jnp.sum(alpha)
+
+    def loss_seq(m, c, col, op):
+        render, alpha = _sequential_compositor(m, c, col, op, depths, radii, 16, 16)
+        return jnp.sum((render - target) ** 2) + 0.1 * jnp.sum(alpha)
+
+    args = (means2d, conics, colors, opacities)
+    np.testing.assert_allclose(float(loss_ref(*args)), float(loss_seq(*args)), rtol=1e-5)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    g_seq = jax.grad(loss_seq, argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(g_ref, g_seq):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_color_gradients_finite_difference():
+    """Color gradients have no threshold discontinuities -> FD is meaningful."""
+    key = jax.random.PRNGKey(0)
+    n = 12
+    means2d = jax.random.uniform(key, (n, 2)) * 16
+    conics = jnp.tile(jnp.array([[0.3, 0.05, 0.25]]), (n, 1))
+    colors = jax.random.uniform(jax.random.PRNGKey(1), (n, 3))
+    opacities = jnp.full((n,), 0.4)
+    depths = jnp.linspace(1.0, 2.0, n)
+    radii = jnp.full((n,), 10, dtype=jnp.int32)
+    target = jax.random.uniform(jax.random.PRNGKey(2), (16, 16, 3))
+
+    def loss(col):
+        render, alpha, _ = rasterize_pixels_reference(
+            means2d, conics, col, opacities, depths, radii, 16, 16
+        )
+        return jnp.sum((render - target) ** 2)
+
+    g = np.asarray(jax.grad(loss)(colors))
+    eps = 1e-2
+    rng = np.random.default_rng(0)
+    arr = np.asarray(colors)
+    for _ in range(6):
+        idx = tuple(rng.integers(0, s) for s in arr.shape)
+        fd = 0.0
+        for sgn in (+1, -1):
+            pert = arr.copy()
+            pert[idx] += sgn * eps
+            fd += sgn * float(loss(jnp.asarray(pert))) / (2 * eps)
+        np.testing.assert_allclose(g[idx], fd, rtol=5e-2, atol=5e-3)
+
+
+def test_full_rasterization_api_rgb_ed():
+    """End-to-end projection + SH + compositing through the public API."""
+    key = jax.random.PRNGKey(0)
+    n = 50
+    means = jax.random.normal(key, (n, 3)) * 0.5 + jnp.array([0.0, 0.0, 3.0])
+    quats = jax.random.normal(jax.random.PRNGKey(1), (n, 4))
+    scales = jnp.full((n, 3), 0.1)
+    opacities = jnp.full((n,), 0.7)
+    sh = jax.random.normal(jax.random.PRNGKey(2), (n, 16, 3)) * 0.1
+    viewmat = jnp.eye(4)
+    K = jnp.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]])
+
+    render, alpha, info = rasterization(
+        means, quats, scales, opacities, sh, viewmat[None], K[None],
+        64, 48, sh_degree=3, render_mode="RGB+ED", backend="reference",
+    )
+    assert render.shape == (1, 48, 64, 4)
+    assert alpha.shape == (1, 48, 64, 1)
+    assert info.means2d.shape == (n, 2)
+    assert float(jnp.max(alpha)) > 0.5
+    # expected depth should be near 3 where alpha is high
+    high = np.asarray(alpha[0, ..., 0]) > 0.5
+    d = np.asarray(render[0, ..., 3])[high]
+    assert np.all((d > 1.5) & (d < 4.5))
+
+
+def test_build_intersections_counts_and_offsets():
+    means2d = jnp.array([[8.0, 8.0], [24.0, 8.0], [100.0, 100.0]])
+    radii = jnp.array([4, 12, 0], dtype=jnp.int32)
+    depths = jnp.array([1.0, 2.0, 3.0])
+    # 32x16 image, tile 16 -> 2x1 tiles
+    isect = build_intersections(means2d, radii, depths, 32, 16, 16, capacity=16)
+    # G0 covers tile 0 only; G1 covers tiles 0 and 1 (x in [12, 36]).
+    assert int(isect.num_isects) == 3
+    offs = np.asarray(isect.tile_offsets)
+    assert offs[0] == 0 and offs[1] == 2 and offs[2] == 3
+    gids = np.asarray(isect.gauss_ids)
+    # tile 0 sorted by depth: G0 (d=1) then G1 (d=2); tile 1: G1
+    assert list(gids[:3]) == [0, 1, 1]
+    assert np.all(gids[3:] == 3)  # padding = N
+
+
+def test_build_intersections_depth_order_within_tile():
+    n = 30
+    rng = np.random.default_rng(0)
+    means2d = jnp.asarray(rng.uniform(2, 14, size=(n, 2)).astype(np.float32))
+    radii = jnp.full((n,), 2, dtype=jnp.int32)
+    depths = jnp.asarray(rng.uniform(1, 10, size=(n,)).astype(np.float32))
+    isect = build_intersections(means2d, radii, depths, 16, 16, 16, capacity=64)
+    assert int(isect.num_isects) == n
+    gids = np.asarray(isect.gauss_ids[:n])
+    d = np.asarray(depths)[gids]
+    assert np.all(np.diff(d) >= 0)
