@@ -1,0 +1,167 @@
+"""Pallas tile-rasterizer parity tests vs the jnp oracle (interpret mode on CPU):
+forward image, analytic backward gradients, and the absgrad statistic."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from freegaussian_tpu.ops.rasterize_pallas import rasterize_pixels_pallas
+from freegaussian_tpu.ops.rasterize_ref import (
+    depth_sort_order,
+    rasterize_pixels_reference,
+    tile_bounds,
+)
+
+
+def make_scene(n=80, width=48, height=32, seed=0, opac_scale=0.9, channels=3):
+    keys = jax.random.split(jax.random.PRNGKey(seed), 6)
+    means2d = jax.random.uniform(keys[0], (n, 2)) * jnp.array([width, height])
+    # random positive-definite conics
+    a = jax.random.uniform(keys[1], (n,), minval=0.05, maxval=0.6)
+    c = jax.random.uniform(keys[2], (n,), minval=0.05, maxval=0.6)
+    b = jax.random.uniform(keys[3], (n,), minval=-0.5, maxval=0.5) * jnp.sqrt(a * c)
+    conics = jnp.stack([a, b, c], axis=-1)
+    colors = jax.random.uniform(keys[4], (n, channels))
+    opacities = jax.random.uniform(keys[5], (n,)) * opac_scale
+    depths = jnp.linspace(1.0, 5.0, n)
+    radii = jnp.full((n,), 9, dtype=jnp.int32)
+    # cull a few
+    radii = radii.at[::11].set(0)
+    return means2d, conics, colors, opacities, depths, radii
+
+
+def test_forward_matches_oracle():
+    args = make_scene()
+    width, height = 48, 32
+    r_ref, a_ref, _ = rasterize_pixels_reference(*args, width, height)
+    r_pal, a_pal = rasterize_pixels_pallas(*args, width, height, interpret=True)
+    np.testing.assert_allclose(np.asarray(r_pal), np.asarray(r_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref), atol=2e-5)
+
+
+def test_forward_matches_oracle_dense_overlap():
+    """Heavy overlap exercises early termination and multi-chunk tiles."""
+    args = make_scene(n=300, width=32, height=32, seed=3, opac_scale=0.999)
+    r_ref, a_ref, _ = rasterize_pixels_reference(*args, 32, 32)
+    r_pal, a_pal = rasterize_pixels_pallas(*args, 32, 32, interpret=True, chunk=128)
+    np.testing.assert_allclose(np.asarray(r_pal), np.asarray(r_ref), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref), atol=5e-5)
+
+
+def test_forward_multi_chunk_boundary():
+    """Chunk smaller than per-tile counts: loop + range masking correctness."""
+    args = make_scene(n=120, width=16, height=16, seed=5)
+    r_ref, a_ref, _ = rasterize_pixels_reference(*args, 16, 16)
+    r_pal, a_pal = rasterize_pixels_pallas(*args, 16, 16, interpret=True, chunk=128)
+    np.testing.assert_allclose(np.asarray(r_pal), np.asarray(r_ref), atol=2e-5)
+
+
+def test_backward_matches_oracle_autodiff():
+    args = make_scene(n=60, width=32, height=32, seed=1)
+    means2d, conics, colors, opacities, depths, radii = args
+    target = jax.random.uniform(jax.random.PRNGKey(9), (32, 32, 3))
+
+    def loss_pal(m, c, col, op):
+        render, alpha = rasterize_pixels_pallas(
+            m, c, col, op, depths, radii, 32, 32, interpret=True
+        )
+        return jnp.sum((render - target) ** 2) + 0.3 * jnp.sum(alpha**2)
+
+    def loss_ref(m, c, col, op):
+        render, alpha, _ = rasterize_pixels_reference(
+            m, c, col, op, depths, radii, 32, 32
+        )
+        return jnp.sum((render - target) ** 2) + 0.3 * jnp.sum(alpha**2)
+
+    l_pal = float(loss_pal(means2d, conics, colors, opacities))
+    l_ref = float(loss_ref(means2d, conics, colors, opacities))
+    np.testing.assert_allclose(l_pal, l_ref, rtol=1e-5)
+
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(means2d, conics, colors, opacities)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(means2d, conics, colors, opacities)
+    names = ["means2d", "conics", "colors", "opacities"]
+    for name, a, b in zip(names, g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4, err_msg=name
+        )
+
+
+def test_backward_dense_termination():
+    args = make_scene(n=200, width=16, height=16, seed=7, opac_scale=0.999)
+    means2d, conics, colors, opacities, depths, radii = args
+    target = jnp.zeros((16, 16, 3))
+
+    def loss(fn):
+        def f(m, c, col, op):
+            out = fn(m, c, col, op, depths, radii, 16, 16)
+            render, alpha = out[0], out[1]
+            return jnp.mean(jnp.abs(render - target)) + jnp.mean(alpha)
+
+        return f
+
+    import functools
+
+    pal = functools.partial(rasterize_pixels_pallas, interpret=True)
+    g_pal = jax.grad(loss(pal), argnums=(0, 1, 2, 3))(means2d, conics, colors, opacities)
+    g_ref = jax.grad(loss(rasterize_pixels_reference), argnums=(0, 1, 2, 3))(
+        means2d, conics, colors, opacities
+    )
+    for name, a, b in zip(["m", "c", "col", "op"], g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4, err_msg=name
+        )
+
+
+def _absgrad_oracle(means2d, conics, colors, opacities, depths, radii, width, height, loss_fn, tile_size=16):
+    """Per-tile |d means2d| accumulation via per-tile restricted autodiff."""
+    tiles_w = -(-width // tile_size)
+    tiles_h = -(-height // tile_size)
+    n = means2d.shape[0]
+    total = np.zeros((n, 2), np.float32)
+    for ty in range(tiles_h):
+        for tx in range(tiles_w):
+            mask = np.zeros((height, width, 1), np.float32)
+            y0, x0 = ty * tile_size, tx * tile_size
+            mask[y0 : y0 + tile_size, x0 : x0 + tile_size] = 1.0
+            mask = jnp.asarray(mask)
+
+            def tile_loss(m):
+                render, alpha, _ = rasterize_pixels_reference(
+                    m, conics, colors, opacities, depths, radii, width, height
+                )
+                return loss_fn(render * mask, alpha * mask)
+
+            g = np.asarray(jax.grad(tile_loss)(means2d))
+            total += np.abs(g)
+    return total
+
+
+def test_absgrad_matches_per_tile_oracle():
+    args = make_scene(n=40, width=32, height=32, seed=2)
+    means2d, conics, colors, opacities, depths, radii = args
+    target = jax.random.uniform(jax.random.PRNGKey(4), (32, 32, 3))
+
+    def loss_fn(render, alpha):
+        return jnp.sum((render - target * (alpha > -1)) ** 2) + 0.1 * jnp.sum(alpha)
+
+    sink = jnp.zeros((40, 2), jnp.float32)
+
+    def loss_pal(m, s):
+        render, alpha = rasterize_pixels_pallas(
+            m, conics, colors, opacities, depths, radii, 32, 32,
+            interpret=True, means2d_sink=s,
+        )
+        return jnp.sum((render - target) ** 2) + 0.1 * jnp.sum(alpha)
+
+    g_m, g_sink = jax.grad(loss_pal, argnums=(0, 1))(means2d, sink)
+
+    def loss_for_tiles(render, alpha):
+        return jnp.sum((render - target * jnp.ones_like(render)) ** 2) + 0.1 * jnp.sum(alpha)
+
+    expected = _absgrad_oracle(
+        means2d, conics, colors, opacities, depths, radii, 32, 32, loss_for_tiles
+    )
+    np.testing.assert_allclose(np.asarray(g_sink), expected, rtol=1e-3, atol=1e-4)
+    # absgrad dominates the signed gradient elementwise
+    assert np.all(np.asarray(g_sink) >= np.abs(np.asarray(g_m)) - 1e-5)
