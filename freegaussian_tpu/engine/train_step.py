@@ -1,0 +1,187 @@
+"""The jitted stage-1 training step: forward, loss, per-group Adam, absgrad
+stats, and in-jit densification.
+
+The whole step — including refinement — compiles once per (image size,
+SH degree) phase, because Gaussian arrays are capacity-padded and refinement
+is masked scatter work under lax.cond. This replaces the reference's
+eager-callback structure (Trainer.train + AFTER_TRAIN_ITERATION callbacks,
+freegaussian_model.py:573-591) with a pure function of TrainState.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..data.cameras import Camera
+from ..models.densify import (
+    DensifyConfig,
+    DensifyState,
+    refine,
+    update_stats,
+    zero_moment_rows,
+)
+from ..models.gaussians import GaussianParams
+from ..models.splat_model import SplatConfig, forward, loss_fn, psnr
+from .optimizers import apply_group_updates
+
+GAUSSIAN_GROUPS = ("means", "scales", "quats", "features_dc", "features_rest", "opacities")
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: GaussianParams
+    alive: jax.Array
+    deform_vars: Any
+    control_vars: Any
+    opt_states: Dict[str, Any]
+    densify: DensifyState
+    step: jax.Array
+    key: jax.Array
+
+
+def make_train_step(
+    splat_cfg: SplatConfig,
+    densify_cfg: DensifyConfig,
+    optimizers: Dict[str, Any],
+    deform_apply,
+    num_train_data: int,
+    *,
+    train_deform: bool = True,
+):
+    """Build the jitted train step.
+
+    Static per-call args: sh_degree_now (int), image size via camera pytree
+    metadata. Returns step_fn(state, camera, batch, sh_degree_now) ->
+    (state, metrics).
+    """
+
+    def step_fn(
+        state: TrainState,
+        camera: Camera,
+        batch: Dict[str, jax.Array],
+        sh_degree_now: int,
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        key, k_bg, k_refine = jax.random.split(state.key, 3)
+        capacity = state.alive.shape[0]
+        warmed_up = state.step >= splat_cfg.warm_up
+        last_size = (camera.height, camera.width)
+
+        def compute_loss(params, deform_vars, sink):
+            outputs = forward(
+                splat_cfg,
+                params,
+                state.alive,
+                camera,
+                deform_variables=deform_vars if train_deform else None,
+                deform_apply=deform_apply if train_deform else None,
+                step=0,  # schedules passed explicitly below
+                sh_degree_now=sh_degree_now,
+                warmed_up=warmed_up,
+                train=True,
+                bg_rng=k_bg,
+                means2d_sink=sink,
+            )
+            losses = loss_fn(
+                splat_cfg, outputs, batch, params, state.alive,
+                apply_scale_reg=(state.step % 10 == 0),
+            )
+            total = losses["main_loss"] + losses["scale_reg"]
+            return total, (outputs, losses)
+
+        sink = jnp.zeros((capacity, 2), jnp.float32)
+        grad_fn = jax.value_and_grad(compute_loss, argnums=(0, 1, 2), has_aux=True)
+        (total, (outputs, losses)), (g_params, g_deform, absgrad) = grad_fn(
+            state.params, state.deform_vars, sink
+        )
+
+        # Dead slots must not move.
+        g_params = {
+            k: jnp.where(
+                state.alive.reshape((-1,) + (1,) * (v.ndim - 1)), v, 0.0
+            )
+            for k, v in g_params.items()
+        }
+
+        params_by_group = {k: state.params[k] for k in GAUSSIAN_GROUPS}
+        grads_by_group = {k: g_params[k] for k in GAUSSIAN_GROUPS}
+        if train_deform:
+            params_by_group["deform"] = state.deform_vars
+            grads_by_group["deform"] = g_deform
+
+        new_groups, new_opt_states = apply_group_updates(
+            optimizers, state.opt_states, params_by_group, grads_by_group
+        )
+        new_params = {k: new_groups[k] for k in GAUSSIAN_GROUPS}
+        new_deform = new_groups.get("deform", state.deform_vars)
+        opt_states = dict(state.opt_states)
+        opt_states.update(new_opt_states)
+
+        # --- densification bookkeeping (AFTER_TRAIN_ITERATION callbacks) ---
+        dstate = update_stats(state.densify, outputs["radii"], absgrad, last_size)
+
+        def do_refine(operand):
+            params, alive, dstate, opt_states = operand
+            params, alive, dstate, info = refine(
+                densify_cfg,
+                params,
+                alive,
+                dstate,
+                k_refine,
+                state.step,
+                last_size,
+                num_train_data,
+            )
+            mask = info["moment_zero_mask"]
+            new_opt = {}
+            for name in GAUSSIAN_GROUPS:
+                st = zero_moment_rows(opt_states[name], mask, params[name])
+                if name == "opacities":
+                    st = jax.tree.map(
+                        lambda leaf: (
+                            jnp.where(info["reset_opacity_moments"], jnp.zeros_like(leaf), leaf)
+                            if hasattr(leaf, "shape") and leaf.shape == params["opacities"].shape
+                            else leaf
+                        ),
+                        st,
+                    )
+                new_opt[name] = st
+            opt_states = dict(opt_states)
+            opt_states.update(new_opt)
+            return params, alive, dstate, opt_states
+
+        should_refine = (
+            (state.step >= densify_cfg.refine_start)
+            & (state.step % densify_cfg.refine_every == 0)
+        )
+        new_params, new_alive, dstate, opt_states = jax.lax.cond(
+            should_refine,
+            do_refine,
+            lambda op: op,
+            (new_params, state.alive, dstate, opt_states),
+        )
+
+        metrics = {
+            "loss": total,
+            "main_loss": losses["main_loss"],
+            "l1": losses["l1"],
+            "ssim": losses["ssim"],
+            "psnr": psnr(outputs["rgb"], batch["image"][..., :3]),
+            "gaussian_count": jnp.sum(new_alive),
+        }
+        new_state = state.replace(
+            params=new_params,
+            alive=new_alive,
+            deform_vars=new_deform,
+            opt_states=opt_states,
+            densify=dstate,
+            step=state.step + 1,
+            key=key,
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, static_argnames=("sh_degree_now",))

@@ -1,0 +1,224 @@
+"""Stage-1 FreeGaussian model: deformable 3DGS forward pass + losses.
+
+Functional equivalent of FreeGaussianModel.get_outputs / get_loss_dict /
+get_metrics_dict (reference: freegaussian_model.py:753-990), with the same
+schedules:
+  - progressive downscale 2^max(num_downscales - step//resolution_schedule, 0)
+  - SH degree schedule min(step // sh_degree_interval, sh_degree)
+  - deform warm-up gate (step < warm_up -> canonical Gaussians)
+  - background compositing rgb = render + (1 - alpha) * bg, clamp [0, 1]
+  - RGB+ED expected depth with detached-max backfill
+  - masked L1 + SSIM: (1 - l) * L1 + l * (1 - SSIM), optional scale reg
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..data.cameras import Camera
+from ..ops.rasterize import rasterization
+from ..ops.math import safe_norm
+from .fields import ControlField, DeformField, apply_se3_deform
+from .gaussians import GaussianParams, colors_from_features, num_alive
+from .ssim import ssim
+
+
+@dataclasses.dataclass(frozen=True)
+class SplatConfig:
+    """Static model configuration (mirrors FreeGaussianModelConfig defaults,
+    freegaussian_model.py:51-131)."""
+
+    warm_up: int = 3000
+    num_downscales: int = 2
+    resolution_schedule: int = 3000
+    sh_degree: int = 3
+    sh_degree_interval: int = 1000
+    ssim_lambda: float = 0.2
+    rasterize_mode: str = "classic"  # or "antialiased"
+    background_color: str = "random"  # random | black | white
+    use_scale_regularization: bool = False
+    max_gauss_ratio: float = 10.0
+    near_plane: float = 0.01
+    far_plane: float = 1e10
+    tile_size: int = 16
+    output_depth_during_training: bool = False
+    backend: str = "auto"
+    is_blender: bool = True
+    # Pallas tuning
+    chunk: int = 128
+    isect_capacity_factor: int = 4
+
+
+def make_deform_field(cfg: SplatConfig) -> DeformField:
+    return DeformField(is_blender=cfg.is_blender)
+
+
+def make_control_field(cfg: SplatConfig) -> ControlField:
+    return ControlField()
+
+
+def downscale_factor(cfg: SplatConfig, step: jax.Array | int, train: bool) -> int:
+    """NOTE: returns a python int only when step is concrete; the train loop
+    precomputes this outside jit so image shapes stay static per-phase."""
+    if not train:
+        return 1
+    return int(2 ** max(cfg.num_downscales - int(step) // cfg.resolution_schedule, 0))
+
+
+def sh_degree_to_use(cfg: SplatConfig, step: int) -> int:
+    return min(step // cfg.sh_degree_interval, cfg.sh_degree)
+
+
+def background_color(cfg: SplatConfig, rng: Optional[jax.Array], train: bool) -> jax.Array:
+    if cfg.background_color == "random":
+        if train and rng is not None:
+            return jax.random.uniform(rng, (3,))
+        # default viser background (ref: freegaussian_model.py:221-224)
+        return jnp.asarray([0.1490, 0.1647, 0.2157])
+    if cfg.background_color == "white":
+        return jnp.ones(3)
+    return jnp.zeros(3)
+
+
+def forward(
+    cfg: SplatConfig,
+    params: GaussianParams,
+    alive: jax.Array,
+    camera: Camera,
+    *,
+    deform_variables: Optional[Any] = None,
+    deform_apply=None,
+    step: int = 0,
+    sh_degree_now: Optional[int] = None,
+    warmed_up: Optional[jax.Array] = None,
+    train: bool = True,
+    bg_rng: Optional[jax.Array] = None,
+    means2d_sink: Optional[jax.Array] = None,
+    render_mode: Optional[str] = None,
+) -> Dict[str, jax.Array]:
+    """Render one camera. Static args (image size via `camera.width/height`,
+    sh degree, render mode) must be concrete; traced args (params, time,
+    warmed_up gate) may be tracers.
+
+    deform_apply(variables, means, times) -> (d_xyz (N,4,4), d_rot, d_scale)
+    """
+    means = params["means"]
+    scales_log = params["scales"]
+    quats = params["quats"]
+    opacities = jax.nn.sigmoid(params["opacities"][..., 0])
+    sh_coeffs = colors_from_features(params)
+
+    if render_mode is None:
+        render_mode = "RGB+ED" if (cfg.output_depth_during_training or not train) else "RGB"
+    if sh_degree_now is None:
+        sh_degree_now = sh_degree_to_use(cfg, step)
+
+    # Deformation (SE(3)) with warm-up gate. The gate is traced via
+    # `warmed_up` so the jitted step handles both phases without recompiles.
+    scales_lin = jnp.exp(scales_log)
+    quats_n = quats / safe_norm(quats, axis=-1, keepdims=True)
+    if deform_apply is not None and deform_variables is not None:
+        n = means.shape[0]
+        times = jnp.broadcast_to(camera.time.reshape(1, 1), (n, 1))
+        d_xyz, d_rot, d_scale = deform_apply(
+            deform_variables, jax.lax.stop_gradient(means), times
+        )
+        means_d = apply_se3_deform(means, d_xyz)
+        scales_d = scales_lin + d_scale
+        quats_d = quats_n + d_rot
+        if warmed_up is None:
+            warmed_up = jnp.asarray(step >= cfg.warm_up)
+        gate = jnp.asarray(warmed_up, means.dtype)
+        means = means + gate * (means_d - means)
+        scales_lin = scales_lin + gate * (scales_d - scales_lin)
+        quats_n = quats_n + gate * (quats_d - quats_n)
+
+    render, alpha, info = rasterization(
+        means,
+        quats_n,
+        scales_lin,
+        opacities,
+        sh_coeffs,
+        camera.viewmat[None],
+        camera.K[None],
+        camera.width,
+        camera.height,
+        tile_size=cfg.tile_size,
+        near_plane=cfg.near_plane,
+        far_plane=cfg.far_plane,
+        render_mode=render_mode,
+        sh_degree=sh_degree_now,
+        rasterize_mode=cfg.rasterize_mode,
+        alive=alive,
+        means2d_sink=means2d_sink,
+        backend=cfg.backend,
+    )
+
+    bg = background_color(cfg, bg_rng, train)
+    rgb = render[0, ..., :3] + (1.0 - alpha[0]) * bg
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+
+    out = {
+        "rgb": rgb,
+        "accumulation": alpha[0],
+        "background": bg,
+        "radii": info.radii,
+        "means2d": info.means2d,
+        "depths": info.depths,
+    }
+    if render_mode == "RGB+ED":
+        depth = render[0, ..., 3:4]
+        # ref: unseen pixels get the detached max depth (freegaussian_model.py:886)
+        depth = jnp.where(
+            alpha[0] > 0, depth, jax.lax.stop_gradient(jnp.max(depth))
+        )
+        out["depth"] = depth
+    return out
+
+
+def loss_fn(
+    cfg: SplatConfig,
+    outputs: Dict[str, jax.Array],
+    batch: Dict[str, jax.Array],
+    params: GaussianParams,
+    alive: jax.Array,
+    *,
+    apply_scale_reg: bool = False,
+) -> Dict[str, jax.Array]:
+    """Masked L1 + SSIM loss (+ optional PhysGaussian scale reg).
+
+    (ref: freegaussian_model.py:944-990)
+    """
+    gt = batch["image"]
+    if gt.shape[-1] == 4:
+        a = gt[..., 3:4]
+        gt = a * gt[..., :3] + (1 - a) * outputs["background"]
+    pred = outputs["rgb"]
+    if "mask" in batch and batch["mask"] is not None:
+        mask = batch["mask"]
+        gt = gt * mask
+        pred = pred * mask
+    l1 = jnp.mean(jnp.abs(gt - pred))
+    simloss = 1.0 - ssim(gt, pred)
+    main_loss = (1 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * simloss
+
+    if cfg.use_scale_regularization and apply_scale_reg:
+        scale_exp = jnp.exp(params["scales"])
+        ratio = jnp.max(scale_exp, axis=-1) / jnp.clip(
+            jnp.min(scale_exp, axis=-1), 1e-12, None
+        )
+        reg = jnp.maximum(ratio, cfg.max_gauss_ratio) - cfg.max_gauss_ratio
+        scale_reg = 0.1 * jnp.sum(reg * alive) / jnp.clip(num_alive(alive), 1, None)
+    else:
+        scale_reg = jnp.asarray(0.0)
+
+    return {"main_loss": main_loss, "scale_reg": scale_reg, "l1": l1, "ssim": 1 - simloss}
+
+
+def psnr(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    mse = jnp.mean((pred - gt) ** 2)
+    return -10.0 * jnp.log10(jnp.clip(mse, 1e-12, None))

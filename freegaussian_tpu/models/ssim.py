@@ -1,0 +1,72 @@
+"""SSIM loss, matching pytorch_msssim.SSIM(data_range=1.0, size_average=True)
+as used by the reference loss (freegaussian_model.py:211, :966).
+
+Gaussian window 11x11 (sigma 1.5), separable depthwise convolution with valid
+padding, K1=0.01, K2=0.03. Implemented with lax.conv_general_dilated using
+feature_group_count for the depthwise conv — XLA maps it onto the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _gaussian_window(size: int, sigma: float) -> np.ndarray:
+    coords = np.arange(size, dtype=np.float64) - size // 2
+    g = np.exp(-(coords**2) / (2 * sigma**2))
+    g /= g.sum()
+    return g.astype(np.float32)
+
+
+def _depthwise_blur(img: jax.Array, win: jax.Array) -> jax.Array:
+    """Separable gaussian filter. img: (B, C, H, W), valid padding."""
+    c = img.shape[1]
+    k = win.shape[0]
+    win_h = jnp.broadcast_to(win.reshape(1, 1, k, 1), (c, 1, k, 1))
+    win_w = jnp.broadcast_to(win.reshape(1, 1, 1, k), (c, 1, 1, k))
+    dn = jax.lax.conv_dimension_numbers(img.shape, (c, 1, k, 1), ("NCHW", "OIHW", "NCHW"))
+    out = jax.lax.conv_general_dilated(
+        img, win_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+    )
+    dn2 = jax.lax.conv_dimension_numbers(out.shape, (c, 1, 1, k), ("NCHW", "OIHW", "NCHW"))
+    return jax.lax.conv_general_dilated(
+        out, win_w, (1, 1), "VALID", dimension_numbers=dn2, feature_group_count=c
+    )
+
+
+def ssim(
+    img1: jax.Array,
+    img2: jax.Array,
+    *,
+    data_range: float = 1.0,
+    win_size: int = 11,
+    win_sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jax.Array:
+    """Structural similarity between (H, W, C) or (B, C, H, W) images."""
+    if img1.ndim == 3:  # (H, W, C) -> (1, C, H, W)
+        img1 = img1.transpose(2, 0, 1)[None]
+        img2 = img2.transpose(2, 0, 1)[None]
+    win = jnp.asarray(_gaussian_window(win_size, win_sigma))
+
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+
+    mu1 = _depthwise_blur(img1, win)
+    mu2 = _depthwise_blur(img2, win)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = _depthwise_blur(img1 * img1, win) - mu1_sq
+    sigma2_sq = _depthwise_blur(img2 * img2, win) - mu2_sq
+    sigma12 = _depthwise_blur(img1 * img2, win) - mu1_mu2
+
+    cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
+    ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
+    return jnp.mean(ssim_map)

@@ -34,12 +34,18 @@ def from_homogeneous(v: jax.Array) -> jax.Array:
 # -----------------------------------------------------------------------------
 
 
+def safe_norm(x: jax.Array, axis=-1, keepdims=False, eps: float = 1e-24) -> jax.Array:
+    """L2 norm with a finite gradient at 0 (jnp.linalg.norm NaNs there, which
+    poisons grads of dead padded Gaussians through 0 * NaN)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
 def quat_to_rotmat(quat: jax.Array) -> jax.Array:
     """Convert (..., 4) wxyz quaternions to (..., 3, 3) rotation matrices.
 
     Normalizes first. (ref: utils.py:280-301 `build_rotation`)
     """
-    quat = quat / (jnp.linalg.norm(quat, axis=-1, keepdims=True) + 1e-12)
+    quat = quat / safe_norm(quat, axis=-1, keepdims=True)
     w, x, y, z = jnp.moveaxis(quat, -1, 0)
     r00 = 1 - 2 * (y * y + z * z)
     r01 = 2 * (x * y - w * z)

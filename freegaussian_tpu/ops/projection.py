@@ -74,7 +74,16 @@ def _project_gaussians_f32(
 
     p_cam = means @ R.T + t  # (N, 3)
     x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
-    rz = 1.0 / jnp.where(z == 0, 1e-10, z)
+    # Replace out-of-frustum depths with a safe value BEFORE the projective
+    # math: otherwise z ~ 0 overflows cov2d to inf and the masked `where`
+    # backward produces 0 * inf = NaN for culled/dead (padded) Gaussians.
+    valid_z = (z > near_plane) & (z < far_plane)
+    if alive is not None:
+        valid_z &= alive
+    z_safe = jnp.where(valid_z, z, 1.0)
+    x = jnp.where(valid_z, x, 0.0)
+    y = jnp.where(valid_z, y, 0.0)
+    rz = 1.0 / z_safe
 
     covar = quats_to_covar(scales, quats)  # (N, 3, 3)
     covar_c = jnp.einsum("ij,njk,lk->nil", R, covar, R)  # R Sigma R^T
@@ -86,8 +95,8 @@ def _project_gaussians_f32(
     lim_x_neg = cx / fx + 0.3 * tan_fovx
     lim_y_pos = (height - cy) / fy + 0.3 * tan_fovy
     lim_y_neg = cy / fy + 0.3 * tan_fovy
-    tx = z * jnp.clip(x * rz, -lim_x_neg, lim_x_pos)
-    ty = z * jnp.clip(y * rz, -lim_y_neg, lim_y_pos)
+    tx = z_safe * jnp.clip(x * rz, -lim_x_neg, lim_x_pos)
+    ty = z_safe * jnp.clip(y * rz, -lim_y_neg, lim_y_pos)
 
     # J = [[fx/z, 0, -fx tx / z^2], [0, fy/z, -fy ty / z^2]]  (N, 2, 3)
     zeros = jnp.zeros_like(z)
@@ -124,7 +133,7 @@ def _project_gaussians_f32(
     v1 = b + jnp.sqrt(jnp.maximum(b * b - det_blur, 0.01))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(v1))
 
-    valid = (z > near_plane) & (z < far_plane)
+    valid = valid_z
     valid &= det_blur > 0
     valid &= radius_f > radius_clip
     # Cull Gaussians whose extent misses the screen entirely.
