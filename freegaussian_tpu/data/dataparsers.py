@@ -1,0 +1,475 @@
+"""Dataparsers for the four dataset families the reference supports
+(freegaussian_dataparser.py):
+
+  - D-NeRF / Blender       (`transforms_{split}.json` with per-frame `time`)
+  - LiveScene synthetic    (blender-style `transforms.json` + depth/ +
+                            interflow_n{k}/ + mask/, ref :1117-1288)
+  - LiveScene real capture (nerfstudio `transforms.json`, auto-orient/center +
+                            auto-scale, times from filename, flow_n{k}/,
+                            masks/{fid}.npy, ref :681-1114)
+  - CoNeRF captures        (`dataset.json` + per-frame `camera/*.json` +
+                            `rgb/{d}x/` pyramid + annotations, ref :289-678)
+
+Host-side numpy code (runs once at startup); outputs a plain ParsedDataset of
+struct-of-array cameras + file lists. The datamanager turns these into
+device-resident caches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .ply import read_ply_points
+
+
+# -----------------------------------------------------------------------------
+# Pose utilities (nerfstudio camera_utils semantics)
+# -----------------------------------------------------------------------------
+
+
+def rotation_matrix_between(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Rotation taking unit vector a to unit vector b (Rodrigues)."""
+    a = a / np.linalg.norm(a)
+    b = b / np.linalg.norm(b)
+    v = np.cross(a, b)
+    c = float(np.dot(a, b))
+    if np.linalg.norm(v) < 1e-8:
+        return np.eye(3) if c > 0 else -np.eye(3)
+    skew = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+    return np.eye(3) + skew + skew @ skew * (1.0 / (1.0 + c))
+
+
+def auto_orient_and_center_poses(
+    poses: np.ndarray, method: str = "up", center_method: str = "poses"
+) -> Tuple[np.ndarray, np.ndarray]:
+    """nerfstudio auto_orient_and_center_poses: align mean up-vector with +z
+    and center translations. poses: (N, 4, 4) or (N, 3, 4) OpenGL c2w.
+    Returns (oriented (N, 3, 4), transform (3, 4))."""
+    poses = np.asarray(poses, np.float64)
+    if poses.shape[-2] == 3:
+        bottom = np.tile(np.array([0, 0, 0, 1.0]), (poses.shape[0], 1, 1))
+        poses = np.concatenate([poses, bottom], axis=-2)
+    origins = poses[:, :3, 3]
+    if center_method == "poses":
+        translation = origins.mean(axis=0)
+    elif center_method == "focus":
+        translation = origins.mean(axis=0)  # simplified
+    else:
+        translation = np.zeros(3)
+    if method == "up":
+        up = poses[:, :3, 1].mean(axis=0)
+        rotation = rotation_matrix_between(up, np.array([0, 0, 1.0]))
+    elif method == "none":
+        rotation = np.eye(3)
+    else:
+        raise ValueError(f"unsupported orientation method {method}")
+    transform = np.concatenate([rotation, rotation @ -translation[:, None]], axis=-1)
+    oriented = np.einsum("ij,njk->nik", transform[:3, :3], poses[:, :3, :4])
+    oriented[:, :3, 3] += transform[:3, 3]
+    return oriented.astype(np.float32), transform.astype(np.float32)
+
+
+def auto_scale_poses(poses: np.ndarray) -> float:
+    """nerfstudio auto_scale: 1 / max translation norm."""
+    return float(1.0 / max(np.max(np.abs(poses[:, :3, 3])), 1e-8))
+
+
+def train_eval_split_fraction(n: int, fraction: float) -> Tuple[np.ndarray, np.ndarray]:
+    num_train = math.ceil(n * fraction)
+    i_train = np.linspace(0, n - 1, num_train, dtype=int)
+    i_eval = np.setdiff1d(np.arange(n), i_train)
+    return i_train, i_eval
+
+
+# -----------------------------------------------------------------------------
+# Output container
+# -----------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ParsedDataset:
+    """Struct-of-arrays camera set + per-frame file pointers."""
+
+    c2w: np.ndarray  # (N, 3, 4) oriented OpenGL camera-to-world
+    c2w0: np.ndarray  # (N, 3, 4) previous-frame cameras (`cameras0`)
+    fx: np.ndarray  # (N,)
+    fy: np.ndarray
+    cx: np.ndarray
+    cy: np.ndarray
+    width: int
+    height: int
+    times: np.ndarray  # (N,)
+    image_filenames: List[Path]
+    flow_filenames: Optional[List[Path]] = None
+    depth_filenames: Optional[List[Path]] = None
+    mask_filenames: Optional[List[Path]] = None
+    atrb_masks: Optional[np.ndarray] = None  # (N, H, W, M+1) bool
+    mask_valids: Optional[np.ndarray] = None  # (N, M+1) bool
+    seed_points: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    dataparser_scale: float = 1.0
+    dataparser_transform: Optional[np.ndarray] = None
+    distortion: Optional[np.ndarray] = None  # (N, 6) k1 k2 k3 k4 p1 p2
+
+    def __len__(self) -> int:
+        return len(self.image_filenames)
+
+
+def _prev_ids(n: int, interval: int) -> np.ndarray:
+    return np.maximum(np.arange(n) - interval, 0)
+
+
+# -----------------------------------------------------------------------------
+# D-NeRF / Blender (ref: freegaussian_dataparser.py:52-150)
+# -----------------------------------------------------------------------------
+
+
+def parse_dnerf(
+    data: Path,
+    split: str = "train",
+    *,
+    interval: int = 1,
+    ply_path: Optional[Path] = None,
+) -> ParsedDataset:
+    data = Path(data)
+    split_name = {"train": "train", "val": "val", "test": "test"}[split]
+    meta = json.loads((data / f"transforms_{split_name}.json").read_text())
+    import imageio.v2 as imageio
+
+    frames = meta["frames"]
+    poses = np.array([f["transform_matrix"] for f in frames], np.float32)
+    times = np.array(
+        [f.get("time", i / max(len(frames) - 1, 1)) for i, f in enumerate(frames)],
+        np.float32,
+    )
+    image_filenames = [data / (f["file_path"].replace("./", "") + ".png") for f in frames]
+    img0 = imageio.imread(image_filenames[0])
+    h, w = img0.shape[:2]
+    focal = 0.5 * w / math.tan(0.5 * float(meta["camera_angle_x"]))
+    n = len(frames)
+    prev = _prev_ids(n, interval)
+    seed = None
+    if ply_path is not None and Path(ply_path).exists():
+        seed = read_ply_points(ply_path)
+    return ParsedDataset(
+        c2w=poses[:, :3, :4],
+        c2w0=poses[prev][:, :3, :4],
+        fx=np.full(n, focal, np.float32),
+        fy=np.full(n, focal, np.float32),
+        cx=np.full(n, w / 2.0, np.float32),
+        cy=np.full(n, h / 2.0, np.float32),
+        width=w,
+        height=h,
+        times=times,
+        image_filenames=image_filenames,
+        seed_points=seed,
+    )
+
+
+# -----------------------------------------------------------------------------
+# LiveScene synthetic / OmniGibson (ref: freegaussian_dataparser.py:1117-1288)
+# -----------------------------------------------------------------------------
+
+
+def parse_synthetic(
+    data: Path,
+    split: str = "train",
+    *,
+    interval: int = 2,
+    load_flow: bool = True,
+    load_mask: bool = True,
+    train_split_fraction: float = 0.9,
+    orientation_method: str = "up",
+    center_method: str = "poses",
+    scale_factor: float = 1.0,
+) -> ParsedDataset:
+    data = Path(data)
+    meta = json.loads((data / "transforms.json").read_text())
+    import imageio.v2 as imageio
+
+    frames = meta["frames"]
+    image_filenames = [data / (f["file_path"].replace("./", "") + ".png") for f in frames]
+    depth_filenames = [
+        data / (f["file_path"].replace("./images", "depth") + ".npy") for f in frames
+    ]
+    flow_filenames = [
+        data / (f["file_path"].replace("./images", f"interflow_n{interval}") + ".npy")
+        for f in frames
+    ]
+    poses = np.array([f["transform_matrix"] for f in frames], np.float32)
+    poses, transform = auto_orient_and_center_poses(
+        poses, method=orientation_method, center_method=center_method
+    )
+    poses[:, :3, 3] *= scale_factor
+    n = len(frames)
+    prev = _prev_ids(n, interval)
+    poses0 = poses[prev].copy()
+
+    i_train, i_eval = train_eval_split_fraction(n, train_split_fraction)
+    indices = i_train if split == "train" else i_eval
+    sel = lambda lst: [lst[i] for i in indices]
+
+    image_filenames = sel(image_filenames)
+    depth_filenames = sel(depth_filenames)
+    flow_filenames = sel(flow_filenames)
+    poses_s = poses[indices]
+    poses0_s = poses0[indices]
+
+    img0 = imageio.imread(image_filenames[0])
+    h, w = img0.shape[:2]
+    focal = 0.5 * w / math.tan(0.5 * float(meta["camera_angle_x"]))
+
+    max_fid = max(int(Path(f["file_path"]).stem.split("_")[-1]) for f in frames)
+    fids = [Path(p).stem.split("_")[-1] for p in image_filenames]
+    times = np.array([int(fid) / max(max_fid, 1) for fid in fids], np.float32)
+
+    atrb_masks = mask_valids = None
+    if load_mask:
+        masks = [np.load(data / "mask" / f"{fid}.npy") for fid in fids]
+        stacked = np.stack(masks)
+        hh, ww = stacked.shape[1:3]
+        sums = stacked.sum(axis=(1, 2))
+        mask_valids = (sums == 0) | (sums > hh * ww / 300)
+        atrb_masks = stacked.astype(bool)
+
+    nsel = len(indices)
+    return ParsedDataset(
+        c2w=poses_s[:, :3, :4],
+        c2w0=poses0_s[:, :3, :4],
+        fx=np.full(nsel, focal, np.float32),
+        fy=np.full(nsel, focal, np.float32),
+        cx=np.full(nsel, w / 2.0, np.float32),
+        cy=np.full(nsel, h / 2.0, np.float32),
+        width=w,
+        height=h,
+        times=times,
+        image_filenames=image_filenames,
+        depth_filenames=depth_filenames,
+        flow_filenames=flow_filenames if load_flow else None,
+        atrb_masks=atrb_masks,
+        mask_valids=mask_valids,
+        dataparser_scale=scale_factor,
+        dataparser_transform=transform,
+    )
+
+
+# -----------------------------------------------------------------------------
+# LiveScene real capture (ref: freegaussian_dataparser.py:681-1114)
+# -----------------------------------------------------------------------------
+
+
+def parse_real(
+    data: Path,
+    split: str = "train",
+    *,
+    interval: int = 2,
+    load_flow: bool = True,
+    load_mask: bool = True,
+    train_split_fraction: float = 0.9,
+    orientation_method: str = "up",
+    center_method: str = "poses",
+    auto_scale: bool = True,
+    scale_factor: float = 1.0,
+    downscale_factor: int = 1,
+) -> ParsedDataset:
+    data = Path(data)
+    meta = json.loads((data / "transforms.json").read_text())
+    frames = sorted(meta["frames"], key=lambda f: f["file_path"])
+
+    def frame_intrinsic(f, key):
+        return float(f.get(key, meta.get(key, 0.0)))
+
+    image_filenames = []
+    poses = []
+    fx, fy, cx, cy = [], [], [], []
+    distort = []
+    for f in frames:
+        p = f["file_path"]
+        if downscale_factor > 1:
+            parts = Path(p)
+            p = str(parts.parent / f"images_{downscale_factor}" / parts.name)
+        image_filenames.append(data / p)
+        poses.append(np.array(f["transform_matrix"], np.float32))
+        fx.append(frame_intrinsic(f, "fl_x") / downscale_factor)
+        fy.append(frame_intrinsic(f, "fl_y") / downscale_factor)
+        cx.append(frame_intrinsic(f, "cx") / downscale_factor)
+        cy.append(frame_intrinsic(f, "cy") / downscale_factor)
+        distort.append(
+            [frame_intrinsic(f, k) for k in ("k1", "k2", "k3", "k4", "p1", "p2")]
+        )
+
+    poses = np.stack(poses)
+    poses, transform = auto_orient_and_center_poses(
+        poses, method=orientation_method, center_method=center_method
+    )
+    scale = scale_factor
+    if auto_scale:
+        scale *= auto_scale_poses(poses)
+    poses[:, :3, 3] *= scale
+
+    n = len(frames)
+    prev = _prev_ids(n, interval)
+    poses0 = poses[prev].copy()
+
+    # times from the filename numeric suffix (ref :942-944)
+    fids = [Path(p).stem.split("_")[-1] for p in image_filenames]
+    try:
+        fid_ints = [int(fid) for fid in fids]
+        max_fid = max(max(fid_ints), 1)
+        times = np.array([i / max_fid for i in fid_ints], np.float32)
+    except ValueError:
+        times = np.linspace(0, 1, n, dtype=np.float32)
+
+    flow_filenames = [
+        data / f"flow_n{interval}" / (Path(p).stem + ".npy") for p in image_filenames
+    ]
+    mask_paths = [data / "masks" / f"{fid}.npy" for fid in fids]
+
+    i_train, i_eval = train_eval_split_fraction(n, train_split_fraction)
+    indices = i_train if split == "train" else i_eval
+    sel = lambda lst: [lst[i] for i in indices]
+    import imageio.v2 as imageio
+
+    image_filenames = sel(image_filenames)
+    img0 = imageio.imread(image_filenames[0])
+    h, w = img0.shape[:2]
+
+    atrb_masks = mask_valids = None
+    if load_mask and mask_paths and Path(mask_paths[indices[0]]).exists():
+        masks = [np.load(mask_paths[i]) for i in indices]
+        stacked = np.stack(masks)
+        hh, ww = stacked.shape[1:3]
+        sums = stacked.sum(axis=(1, 2))
+        # (ref: :1092-1114) valid when empty or covering > H*W/300 pixels
+        mask_valids = (sums == 0) | (sums > hh * ww / 300)
+        atrb_masks = stacked.astype(bool)
+
+    seed = None
+    ply = data / "sparse_pc.ply"
+    if ply.exists():
+        xyz, rgb = read_ply_points(ply)
+        xyz = (
+            np.einsum("ij,nj->ni", transform[:3, :3], xyz) + transform[:3, 3]
+        ) * scale
+        seed = (xyz.astype(np.float32), rgb)
+
+    return ParsedDataset(
+        c2w=poses[indices][:, :3, :4],
+        c2w0=poses0[indices][:, :3, :4],
+        fx=np.array(fx, np.float32)[indices],
+        fy=np.array(fy, np.float32)[indices],
+        cx=np.array(cx, np.float32)[indices],
+        cy=np.array(cy, np.float32)[indices],
+        width=w,
+        height=h,
+        times=times[indices],
+        image_filenames=image_filenames,
+        flow_filenames=sel(flow_filenames) if load_flow else None,
+        atrb_masks=atrb_masks,
+        mask_valids=mask_valids,
+        seed_points=seed,
+        dataparser_scale=scale,
+        dataparser_transform=transform,
+        distortion=np.array(distort, np.float32)[indices],
+    )
+
+
+# -----------------------------------------------------------------------------
+# CoNeRF captures (ref: freegaussian_dataparser.py:289-678)
+# -----------------------------------------------------------------------------
+
+
+def _conerf_camera_to_opengl(cam_json: dict, scale: float, downscale: int):
+    """CoNeRF camera/*.json -> OpenGL c2w + pinhole intrinsics.
+
+    CoNeRF stores world-to-camera orientation and camera position; axes are
+    OpenCV-style (look +z): convert to OpenGL by flipping y/z columns
+    (ref: freegaussian_dataparser.py:624-637)."""
+    orientation = np.array(cam_json["orientation"], np.float32)  # (3,3) w2c rot
+    position = np.array(cam_json["position"], np.float32)
+    focal = float(cam_json["focal_length"]) / downscale
+    pp = np.array(cam_json["principal_point"], np.float32) / downscale
+    R_c2w = orientation.T
+    R_c2w[:, 1:3] *= -1  # OpenCV -> OpenGL
+    c2w = np.concatenate([R_c2w, position[:, None] * scale], axis=-1)
+    return c2w.astype(np.float32), focal, pp
+
+
+def parse_conerf(
+    data: Path,
+    split: str = "train",
+    *,
+    interval: int = 1,
+    downscale: int = 2,
+    load_mask: bool = True,
+    scene_scale: float = 1.0,
+) -> ParsedDataset:
+    data = Path(data)
+    dataset = json.loads((data / "dataset.json").read_text())
+    ids = dataset["train_ids"] if split == "train" else dataset["val_ids"]
+    all_ids = dataset["ids"]
+
+    scene = {}
+    scene_json = data / "scene.json"
+    if scene_json.exists():
+        scene = json.loads(scene_json.read_text())
+    scale = float(scene.get("scale", 1.0)) * scene_scale
+
+    cams, focals, pps = [], [], []
+    image_filenames = []
+    for fid in ids:
+        cam_json = json.loads((data / "camera" / f"{fid}.json").read_text())
+        c2w, focal, pp = _conerf_camera_to_opengl(cam_json, scale, downscale)
+        cams.append(c2w)
+        focals.append(focal)
+        pps.append(pp)
+        image_filenames.append(data / "rgb" / f"{downscale}x" / f"{fid}.png")
+
+    # times from frame index over the full capture (ref :485-487)
+    id_to_idx = {fid: i for i, fid in enumerate(all_ids)}
+    max_idx = max(len(all_ids) - 1, 1)
+    times = np.array([id_to_idx[fid] / max_idx for fid in ids], np.float32)
+
+    n = len(ids)
+    prev = _prev_ids(n, interval)
+    import imageio.v2 as imageio
+
+    img0 = imageio.imread(image_filenames[0])
+    h, w = img0.shape[:2]
+
+    seed = None
+    ply = data / "points.ply"
+    if ply.exists():
+        xyz, rgb = read_ply_points(ply)
+        center = np.array(scene.get("center", [0, 0, 0]), np.float32)
+        xyz = (xyz - center) * scale
+        seed = (xyz.astype(np.float32), rgb)
+
+    c2w = np.stack(cams)
+    return ParsedDataset(
+        c2w=c2w,
+        c2w0=c2w[prev].copy(),
+        fx=np.array(focals, np.float32),
+        fy=np.array(focals, np.float32),
+        cx=np.array([p[0] for p in pps], np.float32),
+        cy=np.array([p[1] for p in pps], np.float32),
+        width=w,
+        height=h,
+        times=times,
+        image_filenames=image_filenames,
+        seed_points=seed,
+        dataparser_scale=scale,
+    )
+
+
+PARSERS = {
+    "dnerf": parse_dnerf,
+    "synthetic": parse_synthetic,
+    "real": parse_real,
+    "conerf": parse_conerf,
+}

@@ -1,0 +1,188 @@
+"""Data layer tests: dataset fixtures written to disk, parsed, cached."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from freegaussian_tpu.data.dataparsers import (
+    auto_orient_and_center_poses,
+    parse_dnerf,
+    parse_real,
+    parse_synthetic,
+    train_eval_split_fraction,
+)
+from freegaussian_tpu.data.datamanager import FullImageDatamanager, undistort_frame
+from freegaussian_tpu.data.ply import read_ply_points, write_ply_points
+
+
+def _write_png(path, h=24, w=32, seed=0):
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(seed)
+    img = (rng.uniform(0, 255, size=(h, w, 3))).astype(np.uint8)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    imageio.imwrite(path, img)
+    return img
+
+
+def make_synthetic_dataset(root: Path, n=6, h=24, w=32):
+    frames = []
+    for i in range(n):
+        name = f"images/frame_{i:04d}"
+        _write_png(root / (name + ".png"), h, w, seed=i)
+        (root / "depth").mkdir(exist_ok=True, parents=True)
+        np.save(root / f"depth/frame_{i:04d}.npy", np.full((h, w, 1), 2.0, np.float32))
+        (root / "interflow_n2").mkdir(exist_ok=True, parents=True)
+        np.save(
+            root / f"interflow_n2/frame_{i:04d}.npy",
+            np.random.default_rng(i).normal(size=(h, w, 2)).astype(np.float32),
+        )
+        (root / "mask").mkdir(exist_ok=True, parents=True)
+        mask = np.zeros((h, w, 3), bool)
+        mask[:, : w // 2, 0] = True
+        mask[:, w // 2 :, 1] = i % 2 == 0
+        np.save(root / f"mask/{i:04d}.npy", mask)
+        c2w = np.eye(4)
+        c2w[2, 3] = 4.0 + 0.1 * i
+        frames.append({"file_path": f"./{name}", "transform_matrix": c2w.tolist()})
+    meta = {"camera_angle_x": 0.7, "frames": frames}
+    (root / "transforms.json").write_text(json.dumps(meta))
+
+
+def test_parse_synthetic(tmp_path):
+    make_synthetic_dataset(tmp_path)
+    parsed = parse_synthetic(tmp_path, "train", interval=2)
+    assert len(parsed) == 6  # fraction 0.9 of 6 -> ceil(5.4)=6 train
+    assert parsed.width == 32 and parsed.height == 24
+    assert parsed.times[0] == 0.0 and parsed.times[-1] == 1.0
+    assert parsed.atrb_masks.shape == (6, 24, 32, 3)
+    assert parsed.flow_filenames is not None
+    # cameras0 = idx - interval clamped
+    np.testing.assert_allclose(parsed.c2w0[0], parsed.c2w[0], atol=1e-6)
+    # centered poses: mean translation ~ 0
+    np.testing.assert_allclose(parsed.c2w[:, :3, 3].mean(axis=0), 0, atol=1e-5)
+
+
+def test_datamanager_cache_and_iteration(tmp_path):
+    make_synthetic_dataset(tmp_path)
+    parsed = parse_synthetic(tmp_path, "train", interval=2)
+    dm = FullImageDatamanager(parsed, max_workers=2)
+    assert len(dm) == 6
+    cam, batch = dm.next_train(0)
+    assert batch["image"].shape == (24, 32, 3)
+    assert float(batch["image"].max()) <= 1.0
+    assert batch["flow"].shape == (24, 32, 2)
+    assert batch["atrb_mask"].shape == (24, 32, 3)
+    assert cam.width == 32
+    # epoch ordering covers all frames
+    seen = set()
+    dm2 = FullImageDatamanager(parsed)
+    for i in range(6):
+        c, b = dm2.next_train(i)
+        seen.add(float(c.time))
+    assert len(seen) == 6
+
+
+def test_datamanager_sharding(tmp_path):
+    make_synthetic_dataset(tmp_path)
+    parsed = parse_synthetic(tmp_path, "train", interval=2)
+    dm0 = FullImageDatamanager(parsed, shard_index=0, num_shards=2)
+    dm1 = FullImageDatamanager(parsed, shard_index=1, num_shards=2)
+    assert len(dm0) == 3 and len(dm1) == 3
+    assert set(dm0.indices).isdisjoint(dm1.indices)
+
+
+def test_parse_dnerf(tmp_path):
+    frames = []
+    for i in range(4):
+        name = f"r_{i}"
+        _write_png(tmp_path / (name + ".png"), seed=i)
+        c2w = np.eye(4)
+        c2w[2, 3] = 3.0
+        frames.append(
+            {"file_path": f"./{name}", "transform_matrix": c2w.tolist(), "time": i / 3}
+        )
+    (tmp_path / "transforms_train.json").write_text(
+        json.dumps({"camera_angle_x": 0.69, "frames": frames})
+    )
+    parsed = parse_dnerf(tmp_path, "train")
+    assert len(parsed) == 4
+    np.testing.assert_allclose(parsed.times, [0, 1 / 3, 2 / 3, 1.0], atol=1e-6)
+
+
+def test_parse_real_with_distortion(tmp_path):
+    frames = []
+    for i in range(5):
+        name = f"images/frame_{i:05d}"
+        _write_png(tmp_path / (name + ".png"), h=32, w=40, seed=i)
+        c2w = np.eye(4)
+        c2w[0, 3] = 0.5 * i
+        c2w[2, 3] = 2.0
+        frames.append({"file_path": f"{name}.png", "transform_matrix": c2w.tolist()})
+    meta = {
+        "fl_x": 35.0,
+        "fl_y": 35.0,
+        "cx": 20.0,
+        "cy": 16.0,
+        "k1": 0.01,
+        "frames": frames,
+    }
+    (tmp_path / "transforms.json").write_text(json.dumps(meta))
+    write_ply_points(
+        tmp_path / "sparse_pc.ply",
+        np.random.default_rng(0).normal(size=(20, 3)).astype(np.float32),
+        np.random.default_rng(1).integers(0, 255, size=(20, 3)).astype(np.uint8),
+    )
+    parsed = parse_real(tmp_path, "train", load_flow=False, load_mask=False)
+    assert parsed.seed_points is not None
+    assert parsed.distortion is not None and parsed.distortion[0, 0] == pytest.approx(0.01)
+    # auto-scale: translations bounded by 1
+    assert np.max(np.abs(parsed.c2w[:, :3, 3])) <= 1.0 + 1e-5
+    dm = FullImageDatamanager(parsed)
+    cam, batch = dm.get_batch(0)
+    assert batch["image"].ndim == 3
+
+
+def test_undistort_frame_identity_when_no_distortion():
+    K = np.array([[30.0, 0, 16], [0, 30.0, 12], [0, 0, 1]], np.float32)
+    img = np.random.default_rng(0).uniform(0, 255, (24, 32, 3)).astype(np.uint8)
+    flow = np.random.default_rng(1).normal(size=(24, 32, 2)).astype(np.float32)
+    K2, img2, _, _, flow2 = undistort_frame(K, np.zeros(6), img, flow=flow)
+    np.testing.assert_allclose(K2, K, atol=1e-5)
+    np.testing.assert_array_equal(img2, img)
+    np.testing.assert_allclose(flow2, flow)
+
+
+def test_ply_roundtrip(tmp_path):
+    xyz = np.random.default_rng(0).normal(size=(17, 3)).astype(np.float32)
+    rgb = np.random.default_rng(1).integers(0, 255, size=(17, 3)).astype(np.uint8)
+    write_ply_points(tmp_path / "pc.ply", xyz, rgb)
+    xyz2, rgb2 = read_ply_points(tmp_path / "pc.ply")
+    np.testing.assert_allclose(xyz2, xyz, atol=1e-6)
+    np.testing.assert_array_equal(rgb2, rgb)
+
+
+def test_auto_orient_up():
+    rng = np.random.default_rng(0)
+    from scipy.spatial.transform import Rotation
+
+    poses = []
+    tilt = Rotation.from_rotvec([0.3, 0, 0]).as_matrix()
+    for i in range(6):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = tilt
+        c2w[:3, 3] = rng.normal(size=3) + 5
+        poses.append(c2w)
+    oriented, transform = auto_orient_and_center_poses(np.stack(poses))
+    up = oriented[:, :3, 1].mean(axis=0)
+    up /= np.linalg.norm(up)
+    np.testing.assert_allclose(up, [0, 0, 1], atol=1e-5)
+    np.testing.assert_allclose(oriented[:, :3, 3].mean(axis=0), 0, atol=1e-5)
+
+
+def test_train_eval_split():
+    tr, ev = train_eval_split_fraction(10, 0.9)
+    assert len(tr) == 9 and len(ev) == 1
+    assert set(tr) | set(ev) == set(range(10))
