@@ -65,5 +65,11 @@ class Camera:
         )
 
     @property
+    def c2w_opencv(self) -> jax.Array:
+        """(3, 4) camera-to-world in OpenCV convention (flip y/z columns)."""
+        R = self.c2w[..., :3, :3] * jnp.asarray([1.0, -1.0, -1.0])
+        return jnp.concatenate([R, self.c2w[..., :3, 3:4]], axis=-1)
+
+    @property
     def position(self) -> jax.Array:
         return self.c2w[..., :3, 3]

@@ -99,6 +99,7 @@ class CachedFrame:
     camera: Camera
     camera0: Camera
     flow: Optional[np.ndarray] = None
+    depth0: Optional[np.ndarray] = None  # paired-frame depth for the 3D lift
     mask: Optional[np.ndarray] = None
     atrb_mask: Optional[np.ndarray] = None
     mask_valid: Optional[np.ndarray] = None
@@ -140,6 +141,12 @@ class FullImageDatamanager:
         if p.flow_filenames is not None and Path(p.flow_filenames[i]).exists():
             flow = load_flow_npy(p.flow_filenames[i], image.shape[0], image.shape[1])
 
+        depth0 = None
+        if p.depth0_filenames is not None and Path(p.depth0_filenames[i]).exists():
+            depth0 = np.load(p.depth0_filenames[i]).astype(np.float32)
+            if depth0.ndim == 2:
+                depth0 = depth0[..., None]
+
         atrb_mask = p.atrb_masks[i] if p.atrb_masks is not None else None
         mask_valid = p.mask_valids[i] if p.mask_valids is not None else None
 
@@ -177,6 +184,7 @@ class FullImageDatamanager:
             camera=cam,
             camera0=cam0,
             flow=flow,
+            depth0=depth0,
             atrb_mask=atrb_mask,
             mask_valid=mask_valid,
         )
@@ -203,6 +211,8 @@ class FullImageDatamanager:
         batch: Dict[str, np.ndarray] = {"image": jnp.asarray(image)}
         if f.flow is not None:
             batch["flow"] = jnp.asarray(f.flow)
+        if f.depth0 is not None:
+            batch["depth0"] = jnp.asarray(f.depth0)
         if f.atrb_mask is not None:
             batch["atrb_mask"] = jnp.asarray(f.atrb_mask)
             batch["mask_valid"] = jnp.asarray(f.mask_valid)

@@ -108,6 +108,7 @@ class ParsedDataset:
     image_filenames: List[Path]
     flow_filenames: Optional[List[Path]] = None
     depth_filenames: Optional[List[Path]] = None
+    depth0_filenames: Optional[List[Path]] = None  # paired (prev) frame depth
     mask_filenames: Optional[List[Path]] = None
     atrb_masks: Optional[np.ndarray] = None  # (N, H, W, M+1) bool
     mask_valids: Optional[np.ndarray] = None  # (N, M+1) bool
@@ -214,8 +215,10 @@ def parse_synthetic(
     indices = i_train if split == "train" else i_eval
     sel = lambda lst: [lst[i] for i in indices]
 
+    depth0_filenames = [depth_filenames[j] for j in prev]
     image_filenames = sel(image_filenames)
     depth_filenames = sel(depth_filenames)
+    depth0_filenames = sel(depth0_filenames)
     flow_filenames = sel(flow_filenames)
     poses_s = poses[indices]
     poses0_s = poses0[indices]
@@ -250,6 +253,7 @@ def parse_synthetic(
         times=times,
         image_filenames=image_filenames,
         depth_filenames=depth_filenames,
+        depth0_filenames=depth0_filenames,
         flow_filenames=flow_filenames if load_flow else None,
         atrb_masks=atrb_masks,
         mask_valids=mask_valids,

@@ -60,16 +60,20 @@ def make_train_step(
     (state, metrics).
     """
 
+    use_flow = splat_cfg.flow_loss_weight > 0 or splat_cfg.flow_3d_loss_weight > 0
+
     def step_fn(
         state: TrainState,
         camera: Camera,
         batch: Dict[str, jax.Array],
         sh_degree_now: int,
+        camera0: Camera | None = None,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         key, k_bg, k_refine = jax.random.split(state.key, 3)
         capacity = state.alive.shape[0]
         warmed_up = state.step >= splat_cfg.warm_up
         last_size = (camera.height, camera.width)
+        flow_active = use_flow and camera0 is not None and "flow" in batch
 
         def compute_loss(params, deform_vars, sink):
             outputs = forward(
@@ -85,12 +89,43 @@ def make_train_step(
                 train=True,
                 bg_rng=k_bg,
                 means2d_sink=sink,
+                camera0=camera0 if flow_active else None,
+                render_flow=flow_active and splat_cfg.flow_loss_weight > 0,
             )
             losses = loss_fn(
                 splat_cfg, outputs, batch, params, state.alive,
                 apply_scale_reg=(state.step % 10 == 0),
             )
             total = losses["main_loss"] + losses["scale_reg"]
+            if flow_active:
+                from ..ops.flow import (
+                    flow_supervision_loss,
+                    query_3d_gaussian_flow,
+                    rendered_flow_loss,
+                )
+
+                gate = jnp.asarray(warmed_up, jnp.float32)
+                if splat_cfg.flow_loss_weight > 0:
+                    fl = rendered_flow_loss(
+                        outputs["flow"], batch["flow"], outputs["accumulation"]
+                    )
+                    losses["flow_2d"] = fl
+                    total = total + gate * splat_cfg.flow_loss_weight * fl
+                if splat_cfg.flow_3d_loss_weight > 0 and "depth0" in batch:
+                    lifted = query_3d_gaussian_flow(
+                        outputs["means2d"],
+                        batch["depth0"],
+                        batch["flow"],
+                        camera0.c2w_opencv,
+                        camera.K,
+                        valid=state.alive,
+                    )
+                    fl3 = flow_supervision_loss(
+                        outputs["means_prev"], lifted, outputs["radii"],
+                        alive=state.alive,
+                    )
+                    losses["flow_3d"] = fl3
+                    total = total + gate * splat_cfg.flow_3d_loss_weight * fl3
             return total, (outputs, losses)
 
         sink = jnp.zeros((capacity, 2), jnp.float32)
@@ -173,6 +208,9 @@ def make_train_step(
             "psnr": psnr(outputs["rgb"], batch["image"][..., :3]),
             "gaussian_count": jnp.sum(new_alive),
         }
+        for extra_key in ("flow_2d", "flow_3d"):
+            if extra_key in losses:
+                metrics[extra_key] = losses[extra_key]
         new_state = state.replace(
             params=new_params,
             alive=new_alive,

@@ -33,6 +33,10 @@ def _knn_mean_dist(points: np.ndarray, k: int = 3) -> np.ndarray:
     """
     from sklearn.neighbors import NearestNeighbors
 
+    n = points.shape[0]
+    k = min(k, n - 1)
+    if k < 1:
+        return np.full(n, 0.1, np.float32)
     nn_model = NearestNeighbors(n_neighbors=k + 1, algorithm="auto").fit(points)
     distances, _ = nn_model.kneighbors(points)
     return distances[:, 1:].mean(axis=-1).astype(np.float32)

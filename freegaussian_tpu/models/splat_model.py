@@ -48,6 +48,10 @@ class SplatConfig:
     output_depth_during_training: bool = False
     backend: str = "auto"
     is_blender: bool = True
+    # Flow-derivative supervision (reconstructed from the paper; the reference
+    # defines the lift ops but never wires a loss — SURVEY §7 (d)).
+    flow_loss_weight: float = 0.0  # rendered-2D-flow L1 vs interflow
+    flow_3d_loss_weight: float = 0.0  # deform(t0) vs interflow-lifted 3D target
     # Pallas tuning
     chunk: int = 128
     isect_capacity_factor: int = 4
@@ -99,6 +103,8 @@ def forward(
     bg_rng: Optional[jax.Array] = None,
     means2d_sink: Optional[jax.Array] = None,
     render_mode: Optional[str] = None,
+    camera0: Optional[Camera] = None,
+    render_flow: bool = False,
 ) -> Dict[str, jax.Array]:
     """Render one camera. Static args (image size via `camera.width/height`,
     sh degree, render mode) must be concrete; traced args (params, time,
@@ -137,6 +143,35 @@ def forward(
         scales_lin = scales_lin + gate * (scales_d - scales_lin)
         quats_n = quats_n + gate * (quats_d - quats_n)
 
+    # Flow-derivative path: deform at the paired frame's time, project through
+    # the paired camera, composite per-Gaussian screen motion as channels.
+    # (reconstructs the supervision the reference left unwired; SURVEY §7 (d))
+    extra_channels = None
+    means_prev = None
+    if camera0 is not None and deform_apply is not None and deform_variables is not None:
+        from ..ops.projection import project_gaussians
+
+        n = params["means"].shape[0]
+        times0 = jnp.broadcast_to(camera0.time.reshape(1, 1), (n, 1))
+        d_xyz0, _, _ = deform_apply(
+            deform_variables, jax.lax.stop_gradient(params["means"]), times0
+        )
+        means_prev_d = apply_se3_deform(params["means"], d_xyz0)
+        gate0 = jnp.asarray(warmed_up if warmed_up is not None else True, means.dtype)
+        means_prev = params["means"] + gate0 * (means_prev_d - params["means"])
+        if render_flow:
+            proj_t = project_gaussians(
+                means, quats_n, scales_lin, camera.viewmat, camera.K,
+                camera.width, camera.height,
+                near_plane=cfg.near_plane, far_plane=cfg.far_plane, alive=alive,
+            )
+            proj_0 = project_gaussians(
+                means_prev, quats_n, scales_lin, camera0.viewmat, camera0.K,
+                camera0.width, camera0.height,
+                near_plane=cfg.near_plane, far_plane=cfg.far_plane, alive=alive,
+            )
+            extra_channels = proj_t.means2d - proj_0.means2d  # (N, 2) screen motion
+
     render, alpha, info = rasterization(
         means,
         quats_n,
@@ -155,6 +190,7 @@ def forward(
         rasterize_mode=cfg.rasterize_mode,
         alive=alive,
         means2d_sink=means2d_sink,
+        extra_channels=extra_channels,
         backend=cfg.backend,
     )
 
@@ -170,8 +206,17 @@ def forward(
         "means2d": info.means2d,
         "depths": info.depths,
     }
+    if extra_channels is not None:
+        # Channel layout: [rgb(3), flow(2), depth?] — flow sits before ED.
+        out["flow"] = render[0, ..., 3:5]
+        out["means_prev"] = means_prev
+        depth_ch = 5
+    else:
+        depth_ch = 3
+    if means_prev is not None:
+        out["means_prev"] = means_prev
     if render_mode == "RGB+ED":
-        depth = render[0, ..., 3:4]
+        depth = render[0, ..., depth_ch : depth_ch + 1]
         # ref: unseen pixels get the detached max depth (freegaussian_model.py:886)
         depth = jnp.where(
             alpha[0] > 0, depth, jax.lax.stop_gradient(jnp.max(depth))

@@ -258,14 +258,23 @@ def bilinear_interp(image: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     """Bilinear interpolation on a batch of images.
 
     image: (B, H, W, C); x, y: (B, N) pixel coords. Returns (B, N, C).
-    Uses floor/ceil corner convention of the reference (ref: utils.py:316-343):
-    when x is integral, x0 == x1 and weights degenerate correctly.
+
+    NOTE: the reference's floor/ceil corner convention (utils.py:316-343)
+    returns 0 at exactly-integer coordinates (x0 == x1 makes all four weights
+    vanish) — a quirk NOT replicated here (SURVEY §7); this is the standard
+    formulation, which agrees with the reference at non-integer coords.
     """
     B, h, w, _ = image.shape
-    x0 = jnp.clip(jnp.floor(x), 0, w - 1).astype(jnp.int32)
-    x1 = jnp.clip(jnp.ceil(x), 0, w - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(y), 0, h - 1).astype(jnp.int32)
-    y1 = jnp.clip(jnp.ceil(y), 0, h - 1).astype(jnp.int32)
+    x = jnp.clip(x, 0, w - 1)
+    y = jnp.clip(y, 0, h - 1)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
 
     def gather(img, yy, xx):  # img (H, W, C), yy/xx (N,)
         return img[yy, xx]
@@ -275,10 +284,10 @@ def bilinear_interp(image: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     Ic = jax.vmap(gather)(image, y0, x1)
     Id = jax.vmap(gather)(image, y1, x1)
 
-    wa = (x1 - x) * (y1 - y)
-    wb = (x1 - x) * (y - y0)
-    wc = (x - x0) * (y1 - y)
-    wd = (x - x0) * (y - y0)
+    wa = (1 - fx) * (1 - fy)
+    wb = (1 - fx) * fy
+    wc = fx * (1 - fy)
+    wd = fx * fy
     return (
         wa[..., None] * Ia + wb[..., None] * Ib + wc[..., None] * Ic + wd[..., None] * Id
     )

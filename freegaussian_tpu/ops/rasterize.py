@@ -72,6 +72,7 @@ def rasterization(
     radius_clip: float = 0.0,
     alive: jax.Array | None = None,
     means2d_sink: jax.Array | None = None,
+    extra_channels: jax.Array | None = None,
     backend: str = "auto",
 ):
     """Render N Gaussians through one camera.
@@ -130,6 +131,16 @@ def rasterization(
         channels = jnp.concatenate([rgb, proj.depths[:, None]], axis=-1)
     else:  # ED
         channels = proj.depths[:, None]
+    if extra_channels is not None:
+        # Extra per-Gaussian channels (e.g. screen-space flow) composited like
+        # color; inserted before the depth channel so ED normalization below
+        # still addresses the last channel.
+        if render_mode in ("RGB+ED", "ED"):
+            channels = jnp.concatenate(
+                [channels[..., :-1], extra_channels, channels[..., -1:]], axis=-1
+            )
+        else:
+            channels = jnp.concatenate([channels, extra_channels], axis=-1)
 
     if backend == "reference":
         render, alpha, _ = rasterize_pixels_reference(

@@ -170,11 +170,24 @@ def test_bilinear_interp_matches_torch_reference():
 
     rng = np.random.default_rng(8)
     img = rng.uniform(size=(2, 9, 7, 3)).astype(np.float32)
-    x = rng.uniform(0, 6.5, size=(2, 20)).astype(np.float32)
-    y = rng.uniform(0, 8.5, size=(2, 20)).astype(np.float32)
+    # interior, non-integer coords: the conventions agree there (we fix the
+    # reference's integer-coordinate degeneracy and clamp at the border)
+    x = rng.uniform(0.01, 5.99, size=(2, 20)).astype(np.float32)
+    y = rng.uniform(0.01, 7.99, size=(2, 20)).astype(np.float32)
     ours = np.asarray(fgm.bilinear_interp(jnp.asarray(img), jnp.asarray(x), jnp.asarray(y)))
     theirs = torch_bilinear(*map(torch.from_numpy, (img, x, y))).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_bilinear_interp_integer_and_border_coords():
+    """Exactly-integer coords return the pixel value (the reference's
+    floor/ceil convention returns 0 there — quirk not replicated)."""
+    img = jnp.arange(12, dtype=jnp.float32).reshape(1, 3, 4, 1)
+    out = fgm.bilinear_interp(img, jnp.array([[2.0, 3.0]]), jnp.array([[1.0, 2.0]]))
+    np.testing.assert_allclose(out[0, :, 0], [6.0, 11.0], atol=1e-6)
+    # out-of-range coords clamp to the border
+    out = fgm.bilinear_interp(img, jnp.array([[10.0]]), jnp.array([[-3.0]]))
+    np.testing.assert_allclose(out[0, 0, 0], 3.0, atol=1e-6)
 
 
 def test_exponential_decay_schedule_endpoints():
