@@ -151,7 +151,10 @@ def _fwd_kernel(cfg: _Cfg, offsets_ref, packed_hbm, color_ref, alpha_ref, buf, s
         )
         alpha_ref[0] += jnp.sum(w, axis=1, keepdims=True)
 
-        T = T * jnp.prod(jnp.where(live > 0, one_minus, 1.0), axis=1, keepdims=True)
+        # Mosaic has no reduce_prod; one_minus >= 1 - MAX_ALPHA so log is safe.
+        T = T * jnp.exp(
+            jnp.sum(jnp.log(jnp.where(live > 0, one_minus, 1.0)), axis=1, keepdims=True)
+        )
         alive = alive * (incl_T[:, -1:] > TRANSMITTANCE_EPS).astype(jnp.float32)
         return c + 1, T, alive
 
@@ -184,7 +187,6 @@ def _bwd_kernel(
     P = ts * ts
     K = cfg.chunk
     C = cfg.channels
-    D_out = 10 + C  # mirrors packed rows (incl. 2 pad rows) + absdx, absdy
     t = pl.program_id(0)
     start = offsets_ref[t]
     end = offsets_ref[t + 1]
@@ -288,10 +290,15 @@ def _bwd_kernel(
         dcols = jax.lax.dot_general(
             g_color, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (C, K)
-        pad_rows = jnp.zeros((2, K), jnp.float32)
+        # Row layout mirrors the packed input (Mosaic requires 8-aligned
+        # sublane slices, so rows are padded to a multiple of 8); the absgrad
+        # rows live in the otherwise-unused pad rows 6-7, whose cotangent is
+        # dropped by the outer gather transpose.
+        d_rows = outbuf.shape[0]
+        tail = jnp.zeros((d_rows - 8 - C, K), jnp.float32)
         d_chunk = jnp.concatenate(
-            [rows_small, pad_rows, dcols, jnp.abs(row_dmx), jnp.abs(row_dmy)], axis=0
-        )  # (D_out, K)
+            [rows_small, jnp.abs(row_dmx), jnp.abs(row_dmy), dcols, tail], axis=0
+        )  # (d_rows, K)
 
         # Write out with the chunk-ownership protocol: the tile containing
         # slot c*K owns the chunk (full write); later tiles sharing the
@@ -322,7 +329,10 @@ def _bwd_kernel(
             out_dma.start()
             out_dma.wait()
 
-        T = T * jnp.prod(jnp.where(live > 0, one_minus, 1.0), axis=1, keepdims=True)
+        # Mosaic has no reduce_prod; one_minus >= 1 - MAX_ALPHA so log is safe.
+        T = T * jnp.exp(
+            jnp.sum(jnp.log(jnp.where(live > 0, one_minus, 1.0)), axis=1, keepdims=True)
+        )
         alive = alive * (incl_T[:, -1:] > TRANSMITTANCE_EPS).astype(jnp.float32)
         s_cum = s_cum + jnp.sum(wb, axis=1, keepdims=True)
         return c + 1, T, alive, s_cum
@@ -389,7 +399,7 @@ def _run_bwd(cfg: _Cfg, packed, tile_offsets, g_color, g_alpha, r_total):
     P = cfg.tile_size * cfg.tile_size
     num_tiles = cfg.tiles_w * cfg.tiles_h
     D_in = packed.shape[0]
-    D_out = 10 + cfg.channels
+    D_out = D_in
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
@@ -439,9 +449,8 @@ def _rasterize_tiles_bwd(cfg, res, cots):
         jnp.einsum("tcp,tcp->tp", color, g_color)[..., None] + alpha * g_alpha
     )
     d_all = _run_bwd(cfg, packed, tile_offsets, g_color, g_alpha, r_total)
-    D_in = packed.shape[0]
-    d_packed = d_all[:D_in]
-    d_abs = d_all[D_in : D_in + 2]  # (2, I)
+    d_packed = d_all
+    d_abs = d_all[6:8]  # absgrad rows live in the pad rows (dropped upstream)
     # Deterministic segment-sum of per-tile |grad| rows -> per-Gaussian absgrad.
     d_sink = jax.ops.segment_sum(d_abs.T, gids, num_segments=n + 1)[:n]
     zero_offsets = np.zeros(tile_offsets.shape, dtype=jax.dtypes.float0)
@@ -510,11 +519,20 @@ def rasterize_pixels_pallas(
     )
 
     # Gather per-intersection packed rows; index n is the zero padding row.
-    # Two zero pad columns keep the color rows sublane-aligned in the kernel.
+    # Pad columns keep color rows at sublane 8 and round the total row count
+    # to a multiple of 8 (Mosaic slice-alignment requirement).
+    d_rows = _round_up(8 + C, 8)
     per_gauss = jnp.concatenate(
-        [means2d, conics, opacities[:, None], jnp.zeros((n, 2), means2d.dtype), colors],
+        [
+            means2d,
+            conics,
+            opacities[:, None],
+            jnp.zeros((n, 2), means2d.dtype),
+            colors,
+            jnp.zeros((n, d_rows - 8 - C), means2d.dtype),
+        ],
         axis=-1,
-    )  # (N, 8+C)
+    )  # (N, d_rows)
     per_gauss = jnp.concatenate(
         [per_gauss, jnp.zeros((1, per_gauss.shape[1]), per_gauss.dtype)], axis=0
     )
