@@ -1,0 +1,134 @@
+"""Gaussian clustering: vote per-frame articulation masks onto Gaussians.
+
+TPU-native equivalent of preprocess/knn_gaussian.py:26-184:
+  for each key frame:
+    - optionally deform Gaussians to the frame's time (--dynamic)
+    - render expected depth ("ED" mode) and project Gaussian centers
+    - keep Gaussians whose projected center is in-bounds AND depth-consistent:
+        -0.1 * d < d_pixel - d_gaussian < 1.0 * d        (ref :116-124)
+    - vote: gaussian_masks[id, attr] |= atrb_mask[y, x]  (ref :127-132)
+  save gaussian_mask_NxM.npy
+
+The reference's packed rasterization + gaussian_ids is replaced by the
+per-Gaussian projection (radii > 0 as the visibility set), which is the same
+information without the intersection-sparse layout.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.cameras import Camera
+from ..models.fields import apply_se3_deform
+from ..models.gaussians import GaussianParams
+from ..ops.rasterize import rasterization
+
+
+def vote_gaussian_masks_one_frame(
+    params: GaussianParams,
+    alive: jax.Array,
+    camera: Camera,
+    atrb_mask: jax.Array,  # (H, W, M) bool
+    *,
+    deform_apply=None,
+    deform_vars=None,
+    backend: str = "auto",
+    depth_low: float = -0.1,
+    depth_high: float = 1.0,
+) -> jax.Array:
+    """Returns (N, M) bool votes for one key frame."""
+    means = params["means"]
+    scales = jnp.exp(params["scales"])
+    quats = params["quats"]
+    if deform_apply is not None and deform_vars is not None:
+        n = means.shape[0]
+        times = jnp.broadcast_to(camera.time.reshape(1, 1), (n, 1))
+        d_xyz, _, _ = deform_apply(deform_vars, means, times)
+        means = apply_se3_deform(means, d_xyz)
+
+    render, alpha_img, info = rasterization(
+        means,
+        quats,
+        scales,
+        jax.nn.sigmoid(params["opacities"][..., 0]),
+        params["features_dc"],  # colors unused in ED mode
+        camera.viewmat[None],
+        camera.K[None],
+        camera.width,
+        camera.height,
+        render_mode="ED",
+        sh_degree=None,
+        alive=alive,
+        backend=backend,
+    )
+    depth_img = render[0, ..., 0]  # (H, W) expected depth
+
+    h, w = camera.height, camera.width
+    xy = info.means2d
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    in_bounds = (
+        (xy[:, 0] >= 0) & (xy[:, 0] < w) & (xy[:, 1] >= 0) & (xy[:, 1] < h)
+    )
+    visible = (info.radii > 0) & in_bounds & alive
+
+    d_pix = depth_img[yi, xi]
+    d_gauss = info.depths
+    diff = d_pix - d_gauss
+    consistent = (diff > depth_low * d_gauss) & (diff < depth_high * d_gauss)
+    keep = visible & consistent
+
+    votes = atrb_mask[yi, xi]  # (N, M)
+    return votes & keep[:, None]
+
+
+def cluster_gaussians(
+    params: GaussianParams,
+    alive: jax.Array,
+    key_frames: Dict[int, jax.Array],  # frame idx -> (H, W, M) bool mask
+    cameras: Dict[int, Camera],
+    *,
+    deform_apply=None,
+    deform_vars=None,
+    dynamic: bool = False,
+    backend: str = "auto",
+) -> jax.Array:
+    """OR-accumulate votes over all key frames -> gaussian_mask (N, M)."""
+    n = params["means"].shape[0]
+    mask = None
+    for idx, atrb in key_frames.items():
+        votes = vote_gaussian_masks_one_frame(
+            params,
+            alive,
+            cameras[idx],
+            jnp.asarray(atrb),
+            deform_apply=deform_apply if dynamic else None,
+            deform_vars=deform_vars if dynamic else None,
+            backend=backend,
+        )
+        mask = votes if mask is None else (mask | votes)
+    if mask is None:
+        mask = jnp.zeros((n, 0), bool)
+    return mask
+
+
+def save_gaussian_mask(path: Path, mask: jax.Array, alive: jax.Array) -> None:
+    """Write gaussian_mask_NxM.npy with only live rows (reference layout:
+    one row per checkpoint Gaussian, preprocess/knn_gaussian.py:162-165)."""
+    mask_np = np.asarray(mask)
+    alive_np = np.asarray(alive)
+    np.save(path, mask_np[alive_np])
+
+
+def load_gaussian_mask(path: Path, capacity: int, alive: jax.Array) -> jax.Array:
+    """Load gaussian_mask_NxM.npy (live rows) back into padded capacity."""
+    live = np.load(path)
+    alive_np = np.asarray(alive)
+    out = np.zeros((capacity, live.shape[1]), bool)
+    out[np.where(alive_np)[0][: live.shape[0]]] = live
+    return jnp.asarray(out)
