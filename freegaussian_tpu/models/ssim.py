@@ -53,6 +53,11 @@ def ssim(
     if img1.ndim == 3:  # (H, W, C) -> (1, C, H, W)
         img1 = img1.transpose(2, 0, 1)[None]
         img2 = img2.transpose(2, 0, 1)[None]
+    # Clamp the window to the image (row-band sharding can make H < 11);
+    # keep it odd. With the full image this is exactly pytorch_msssim.
+    max_win = min(img1.shape[2], img1.shape[3])
+    if win_size > max_win:
+        win_size = max_win if max_win % 2 == 1 else max_win - 1
     win = jnp.asarray(_gaussian_window(win_size, win_sigma))
 
     c1 = (k1 * data_range) ** 2
