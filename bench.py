@@ -1,0 +1,123 @@
+"""Benchmark: pixels/s for the stage-1 train step (fwd+bwd+Adam) on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Measures the full differentiable pipeline — projection, tile binning, Pallas
+forward, analytic backward with absgrad, per-group Adam — on a synthetic
+CoNeRF-scale scene, timed with an on-device lax.scan loop (one host round
+trip; the axon tunnel adds ~25 ms per host->device call otherwise).
+
+vs_baseline: ratio against the BASELINE.json north-star target of 2x an H100
+running gsplat on the same scene (~1.1e9 pixels/s fwd+bwd for this workload
+class), i.e. value / 2.2e9.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from freegaussian_tpu.data.cameras import Camera
+    from freegaussian_tpu.engine.optimizers import (
+        OptimizersConfig,
+        init_opt_states,
+        make_optimizers,
+    )
+    from freegaussian_tpu.engine.train_step import GAUSSIAN_GROUPS
+    from freegaussian_tpu.models.fields import DeformField
+    from freegaussian_tpu.models.gaussians import init_gaussians
+    from freegaussian_tpu.models.splat_model import SplatConfig, forward, loss_fn
+    from freegaussian_tpu.engine.optimizers import apply_group_updates
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    # CoNeRF-scale operating point: ~100k Gaussians, 2x-downscaled capture.
+    n_gauss, width, height = (100_000, 640, 480) if on_tpu else (2_000, 128, 128)
+    iters = 30 if on_tpu else 3
+    capacity = n_gauss
+
+    rng = np.random.default_rng(0)
+    seed_xyz = rng.normal(scale=1.0, size=(n_gauss, 3)).astype(np.float32)
+    seed_rgb = rng.uniform(0, 255, size=(n_gauss, 3)).astype(np.float32)
+    params, alive = init_gaussians(
+        jax.random.PRNGKey(0), capacity, seed_points=(seed_xyz, seed_rgb), sh_degree=3
+    )
+    cfg = SplatConfig(warm_up=0, background_color="black")
+    deform = DeformField(is_blender=True)
+    dvars = deform.init(jax.random.PRNGKey(1), jnp.zeros((1, 3)), jnp.zeros((1, 1)))
+
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 6.0
+    camera = Camera(
+        c2w=jnp.asarray(c2w[:3]),
+        fx=jnp.asarray(500.0),
+        fy=jnp.asarray(500.0),
+        cx=jnp.asarray(width / 2.0),
+        cy=jnp.asarray(height / 2.0),
+        time=jnp.asarray(0.5),
+        width=width,
+        height=height,
+    )
+    optimizers = make_optimizers(OptimizersConfig(max_steps=30000))
+    params_by_group = {k: params[k] for k in GAUSSIAN_GROUPS}
+    params_by_group["deform"] = dvars
+    opt_states = init_opt_states(optimizers, params_by_group)
+    target = jnp.asarray(rng.uniform(size=(height, width, 3)).astype(np.float32))
+
+    def train_step(carry, _):
+        params, dvars, opt_states, t = carry
+
+        def compute_loss(p, dv):
+            out = forward(
+                cfg, p, alive, camera.replace(time=t),
+                deform_variables=dv, deform_apply=deform.apply,
+                sh_degree_now=3, warmed_up=jnp.asarray(True),
+                train=True, bg_rng=None,
+            )
+            return loss_fn(cfg, out, {"image": target}, p, alive)["main_loss"]
+
+        loss, (gp, gd) = jax.value_and_grad(compute_loss, argnums=(0, 1))(params, dvars)
+        pbg = {k: params[k] for k in GAUSSIAN_GROUPS}
+        pbg["deform"] = dvars
+        gbg = {k: gp[k] for k in GAUSSIAN_GROUPS}
+        gbg["deform"] = gd
+        new_groups, new_states = apply_group_updates(optimizers, opt_states, pbg, gbg)
+        new_params = {k: new_groups[k] for k in GAUSSIAN_GROUPS}
+        return (new_params, new_groups["deform"], new_states, t + 1e-5), loss
+
+    @jax.jit
+    def run(params, dvars, opt_states):
+        carry, losses = jax.lax.scan(
+            train_step, (params, dvars, opt_states, jnp.asarray(0.5)), None,
+            length=iters,
+        )
+        return losses
+
+    losses = run(params, dvars, opt_states)
+    jax.block_until_ready(losses)
+    t0 = time.time()
+    losses = run(params, dvars, opt_states)
+    jax.block_until_ready(losses)
+    dt = (time.time() - t0) / iters
+
+    pixels_per_sec = width * height / dt
+    baseline = 2.2e9  # 2x H100 gsplat fwd+bwd pixels/s (north-star target)
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_pixels_per_sec",
+                "value": pixels_per_sec,
+                "unit": "pixels/s",
+                "vs_baseline": pixels_per_sec / baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""CLI: train / eval / render / interflow / cluster verbs.
+
+Replaces the `ns-train freegaussian ...` / `ns-eval` / `ns-render` surface
+(reference L0, README.md:44-58) with a self-contained argparse shell:
+
+    python -m freegaussian_tpu.cli train --data <dir> --dataparser synthetic
+    python -m freegaussian_tpu.cli train --config configs/sim/base.yaml \
+        --scene-config configs/sim/scene.yaml
+    python -m freegaussian_tpu.cli eval --data <dir> --load <ckpt-dir>
+    python -m freegaussian_tpu.cli render --data <dir> --load <ckpt-dir> --out renders/
+    python -m freegaussian_tpu.cli interflow --data <dir> --interval 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from pathlib import Path
+
+
+def _build_trainer(args):
+    from .engine.config import trainer_config_from_yaml
+    from .engine.trainer import Trainer, TrainerConfig
+
+    if args.config:
+        cfg = trainer_config_from_yaml(args.config, args.scene_config)
+    else:
+        cfg = TrainerConfig()
+    if args.data:
+        cfg = dataclasses.replace(cfg, data=args.data)
+    if args.dataparser:
+        cfg = dataclasses.replace(cfg, dataparser=args.dataparser)
+    if args.max_iterations:
+        cfg = dataclasses.replace(cfg, max_num_iterations=args.max_iterations)
+    if args.capacity:
+        cfg = dataclasses.replace(cfg, capacity=args.capacity)
+    trainer = Trainer(cfg)
+    if args.load:
+        trainer.load(Path(args.load))
+    return trainer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="freegaussian-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--data", default="")
+        sp.add_argument("--dataparser", default="")
+        sp.add_argument("--config", default="")
+        sp.add_argument("--scene-config", default="")
+        sp.add_argument("--load", default="")
+        sp.add_argument("--max-iterations", type=int, default=0)
+        sp.add_argument("--capacity", type=int, default=0)
+
+    sp = sub.add_parser("train", help="stage-1 training")
+    common(sp)
+    sp = sub.add_parser("eval", help="evaluate PSNR/SSIM over the eval split")
+    common(sp)
+    sp = sub.add_parser("render", help="render RGB + depth over cameras")
+    common(sp)
+    sp.add_argument("--out", default="renders")
+    sp = sub.add_parser("interflow", help="generate epipolar interflow npys")
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--interval", type=int, default=2)
+    sp.add_argument("--form", choices=["velocity", "backproject"], default="velocity")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "train":
+        trainer = _build_trainer(args)
+        metrics = trainer.train()
+        trainer.save(int(trainer.state.step))
+        print(json.dumps(metrics))
+    elif args.cmd == "eval":
+        trainer = _build_trainer(args)
+        print(json.dumps(trainer.eval_all()))
+    elif args.cmd == "render":
+        trainer = _build_trainer(args)
+        from .preprocess.render_offline import render_color_images, render_depth_maps
+
+        cams = [f.camera for f in trainer.datamanager.frames]
+        out = Path(args.out)
+        render_color_images(
+            trainer.config.splat, trainer.state.params, trainer.state.alive,
+            cams, out / "rgb",
+            deform_apply=trainer.deform.apply, deform_vars=trainer.state.deform_vars,
+        )
+        render_depth_maps(
+            trainer.config.splat, trainer.state.params, trainer.state.alive,
+            cams, out / "depth",
+            dataparser_scale=trainer.parsed.dataparser_scale,
+            deform_apply=trainer.deform.apply, deform_vars=trainer.state.deform_vars,
+        )
+        print(f"rendered {len(cams)} views to {out}")
+    elif args.cmd == "interflow":
+        from .preprocess.epipolar_flow import generate_interflow_dataset
+
+        n = generate_interflow_dataset(
+            Path(args.data), interval=args.interval, form=args.form
+        )
+        print(f"wrote {n} interflow maps")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,206 @@
+"""Trainer: the training-loop shell replacing the nerfstudio Trainer layer
+(SURVEY L2). Owns setup (data -> Gaussians -> optimizers -> jitted steps),
+the step loop with the reference's schedules (progressive downscale phases,
+SH-degree schedule, eval/save cadence), checkpointing via orbax, and metric
+logging (psnr / loss / gaussian_count / rays-per-sec — the same fields the
+reference instruments, freegaussian_pipeline.py:128-156)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.cameras import Camera
+from ..data.datamanager import FullImageDatamanager
+from ..data.dataparsers import PARSERS, ParsedDataset
+from ..models.densify import DensifyConfig, DensifyState
+from ..models.fields import ControlField, DeformField
+from ..models.gaussians import init_gaussians
+from ..models.splat_model import SplatConfig, forward, psnr, sh_degree_to_use
+from ..models.ssim import ssim
+from .checkpoints import load_checkpoint, save_checkpoint
+from .optimizers import OptimizersConfig, init_opt_states, make_optimizers
+from .train_step import GAUSSIAN_GROUPS, TrainState, make_train_step
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    data: str = ""
+    dataparser: str = "synthetic"
+    output_dir: str = "outputs"
+    experiment_name: str = "freegaussian"
+    max_num_iterations: int = 30000
+    steps_per_save: int = 2000
+    steps_per_eval_image: int = 100
+    steps_per_eval_all_images: int = 1000
+    steps_per_log: int = 10
+    capacity: int = 1 << 19
+    num_random: int = 50000
+    """random-init Gaussian count when the dataset has no seed points"""
+    seed: int = 42
+    splat: SplatConfig = dataclasses.field(default_factory=SplatConfig)
+    densify: DensifyConfig = dataclasses.field(default_factory=DensifyConfig)
+    optimizers: OptimizersConfig = dataclasses.field(default_factory=OptimizersConfig)
+    dataparser_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+def downscale_phase(cfg: SplatConfig, step: int) -> int:
+    return int(2 ** max(cfg.num_downscales - step // cfg.resolution_schedule, 0))
+
+
+class Trainer:
+    def __init__(self, config: TrainerConfig, parsed: Optional[ParsedDataset] = None):
+        self.config = config
+        key = jax.random.PRNGKey(config.seed)
+        k_init, k_deform, k_control, k_state = jax.random.split(key, 4)
+
+        if parsed is None:
+            parser = PARSERS[config.dataparser]
+            parsed = parser(Path(config.data), "train", **config.dataparser_kwargs)
+            try:
+                self.eval_parsed = parser(
+                    Path(config.data), "val", **config.dataparser_kwargs
+                )
+            except Exception:
+                self.eval_parsed = None
+        else:
+            self.eval_parsed = None
+        self.parsed = parsed
+        self.datamanager = FullImageDatamanager(parsed, seed=config.seed)
+        self.eval_datamanager = (
+            FullImageDatamanager(self.eval_parsed) if self.eval_parsed else None
+        )
+
+        params, alive = init_gaussians(
+            k_init,
+            config.capacity,
+            seed_points=parsed.seed_points,
+            num_random=min(config.num_random, config.capacity // 2),
+            sh_degree=config.splat.sh_degree,
+        )
+        self.deform = DeformField(is_blender=config.splat.is_blender)
+        deform_vars = self.deform.init(k_deform, jnp.zeros((1, 3)), jnp.zeros((1, 1)))
+        self.control = ControlField()
+        control_vars = self.control.init(
+            k_control, jnp.zeros((1, 3)), jnp.zeros((1, 3))
+        )
+
+        self.optimizers = make_optimizers(config.optimizers)
+        params_by_group = {k: params[k] for k in GAUSSIAN_GROUPS}
+        params_by_group["deform"] = deform_vars
+        params_by_group["control"] = control_vars
+        opt_states = init_opt_states(self.optimizers, params_by_group)
+
+        self.state = TrainState(
+            params=params,
+            alive=alive,
+            deform_vars=deform_vars,
+            control_vars=control_vars,
+            opt_states=opt_states,
+            densify=DensifyState.create(config.capacity),
+            step=jnp.asarray(0),
+            key=k_state,
+        )
+        self.step_fn = make_train_step(
+            config.splat,
+            config.densify,
+            self.optimizers,
+            self.deform.apply,
+            num_train_data=len(self.datamanager),
+        )
+        self.out_dir = Path(config.output_dir) / config.experiment_name
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.metrics_log = self.out_dir / "metrics.jsonl"
+
+    # ------------------------------------------------------------------
+    def _downscale_batch(self, camera: Camera, batch, d: int):
+        if d == 1:
+            return camera, batch
+        from ..ops.math import resize_image
+
+        cam = camera.downscaled(d)
+        out = dict(batch)
+        out["image"] = resize_image(batch["image"], d)
+        if "flow" in out:
+            out["flow"] = resize_image(out["flow"], d) / d
+        if "depth0" in out:
+            out["depth0"] = resize_image(out["depth0"], d)
+        return cam, out
+
+    def train(self, num_steps: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.config
+        n = num_steps if num_steps is not None else cfg.max_num_iterations
+        t_start = time.time()
+        last_metrics: Dict[str, float] = {}
+        for i in range(int(self.state.step), int(self.state.step) + n):
+            camera, batch = self.datamanager.next_train(i)
+            d = downscale_phase(cfg.splat, i)
+            camera, batch = self._downscale_batch(camera, batch, d)
+            camera0 = None
+            sh_deg = sh_degree_to_use(cfg.splat, i)
+            self.state, metrics = self.step_fn(self.state, camera, batch, sh_deg)
+            if i % cfg.steps_per_log == 0:
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                last_metrics["step"] = i
+                last_metrics["steps_per_sec"] = (i + 1 - int(self.state.step) + n) and (
+                    (i + 1) / max(time.time() - t_start, 1e-9)
+                )
+                with open(self.metrics_log, "a") as f:
+                    f.write(json.dumps(last_metrics) + "\n")
+            if cfg.steps_per_save and (i + 1) % cfg.steps_per_save == 0:
+                self.save(i + 1)
+        return last_metrics
+
+    # ------------------------------------------------------------------
+    def eval_all(self, max_images: Optional[int] = None) -> Dict[str, float]:
+        """PSNR/SSIM + rays-per-sec over the eval split (ref eval loop,
+        freegaussian_pipeline.py:103-172)."""
+        dm = self.eval_datamanager or self.datamanager
+        cfg = self.config
+        psnrs, ssims = [], []
+        t0 = time.time()
+        n_pix = 0
+        count = 0
+        for camera, batch in dm.eval_frames():
+            out = forward(
+                cfg.splat,
+                self.state.params,
+                self.state.alive,
+                camera,
+                deform_variables=self.state.deform_vars,
+                deform_apply=self.deform.apply,
+                sh_degree_now=cfg.splat.sh_degree,
+                warmed_up=self.state.step >= cfg.splat.warm_up,
+                train=False,
+            )
+            gt = batch["image"][..., :3]
+            psnrs.append(float(psnr(out["rgb"], gt)))
+            ssims.append(float(ssim(out["rgb"], gt)))
+            n_pix += camera.width * camera.height
+            count += 1
+            if max_images and count >= max_images:
+                break
+        wall = time.time() - t0
+        return {
+            "psnr": float(np.mean(psnrs)),
+            "ssim": float(np.mean(ssims)),
+            "num_rays_per_sec": n_pix / wall,
+            "fps": count / wall,
+            "gaussian_count": int(jnp.sum(self.state.alive)),
+        }
+
+    # ------------------------------------------------------------------
+    def save(self, step: int) -> Path:
+        path = self.out_dir / "checkpoints"
+        save_checkpoint(path, step, self.state)
+        return path
+
+    def load(self, path: Path, step: Optional[int] = None) -> None:
+        self.state = load_checkpoint(Path(path), self.state, step)

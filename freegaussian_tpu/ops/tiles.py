@@ -92,3 +92,104 @@ def build_intersections(
         tiles_w=tiles_w,
         tiles_h=tiles_h,
     )
+
+
+class AlignedIntersections(NamedTuple):
+    """Chunk-aligned per-tile layout + segment tables for the Pallas kernels.
+
+    Every tile's intersection run starts at a chunk (K) boundary and is padded
+    to a chunk multiple (empty tiles own one all-padding chunk), so a segment
+    = (tile, chunk) never spans tiles. The segment tables drive the kernels'
+    scalar-prefetched BlockSpec index maps: Mosaic pipelines the chunk DMAs
+    across the flat segment grid automatically.
+    """
+
+    gauss_ids: jax.Array  # (I_AL,) int32; N = padding
+    seg_tile: jax.Array  # (S,) int32 tile of each segment; num_tiles = dummy
+    seg_first: jax.Array  # (S,) int32 1 if first segment of its tile
+    seg_chunk: jax.Array  # (S,) int32 aligned chunk index of the segment
+    num_isects: jax.Array  # () true intersection count
+    num_segments: jax.Array  # () segments in use (incl. empty-tile dummies)
+    num_tiles: int
+    tiles_w: int
+    tiles_h: int
+    aligned_capacity: int
+    num_seg_cap: int
+
+
+def aligned_capacity_for(capacity: int, num_tiles: int, chunk: int) -> int:
+    """Worst-case aligned slots: every tile pads < chunk, empties own one
+    chunk, plus one reserved dustbin chunk for dummy segments."""
+    return capacity + num_tiles * chunk + chunk
+
+
+def segment_capacity_for(capacity: int, num_tiles: int, chunk: int) -> int:
+    return num_tiles + capacity // chunk + 1
+
+
+def build_intersections_aligned(
+    means2d: jax.Array,
+    radii: jax.Array,
+    depths: jax.Array,
+    width: int,
+    height: int,
+    tile_size: int,
+    capacity: int,
+    chunk: int,
+) -> AlignedIntersections:
+    base = build_intersections(
+        means2d, radii, depths, width, height, tile_size, capacity
+    )
+    num_tiles = base.num_tiles
+    n = means2d.shape[0]
+    i_al = aligned_capacity_for(capacity, num_tiles, chunk)
+    s_cap = segment_capacity_for(capacity, num_tiles, chunk)
+
+    counts = base.tile_offsets[1:] - base.tile_offsets[:-1]  # (T,)
+    chunks_per_tile = jnp.maximum(-(-counts // chunk), 1)  # ceil, min 1
+    padded = chunks_per_tile * chunk
+    aligned_off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)]
+    ).astype(jnp.int32)  # (T+1,) data positions
+    seg_off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(chunks_per_tile)]
+    ).astype(jnp.int32)  # (T+1,) segment positions
+    num_segments = seg_off[-1]
+
+    # Scatter sorted intersections to aligned positions.
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    ti = jnp.clip(base.tile_ids, 0, num_tiles - 1)
+    newpos = aligned_off[ti] + (slots - base.tile_offsets[ti])
+    ok = base.tile_ids < num_tiles
+    newpos = jnp.where(ok, newpos, i_al)  # drop padding
+    gids_al = jnp.full((i_al,), n, jnp.int32).at[newpos].set(
+        base.gauss_ids, mode="drop"
+    )
+
+    # Segment tables.
+    s = jnp.arange(s_cap, dtype=jnp.int32)
+    seg_tile = jnp.clip(
+        jnp.searchsorted(seg_off, s, side="right") - 1, 0, num_tiles - 1
+    ).astype(jnp.int32)
+    within = s - seg_off[seg_tile]
+    in_use = s < num_segments
+    dustbin_chunk = i_al // chunk - 1
+    seg_chunk = jnp.where(
+        in_use, aligned_off[seg_tile] // chunk + within, dustbin_chunk
+    ).astype(jnp.int32)
+    seg_first = jnp.where(in_use, (within == 0), True).astype(jnp.int32)
+    seg_tile = jnp.where(in_use, seg_tile, num_tiles).astype(jnp.int32)
+
+    return AlignedIntersections(
+        gauss_ids=gids_al,
+        seg_tile=seg_tile,
+        seg_first=seg_first,
+        seg_chunk=seg_chunk,
+        num_isects=base.num_isects,
+        num_segments=num_segments,
+        num_tiles=num_tiles,
+        tiles_w=base.tiles_w,
+        tiles_h=base.tiles_h,
+        aligned_capacity=i_al,
+        num_seg_cap=s_cap,
+    )

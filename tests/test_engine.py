@@ -1,0 +1,141 @@
+"""Engine tests: trainer end-to-end on a disk dataset, checkpoint roundtrip +
+stage-2 cross-load, YAML config overlay, graft entry points."""
+
+import dataclasses
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def _make_dataset(tmp_path):
+    spec = importlib.util.spec_from_file_location("td", "tests/test_data.py")
+    td = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(td)
+    td.make_synthetic_dataset(tmp_path, n=6, h=32, w=32)
+
+
+def _trainer(tmp_path, **kw):
+    from freegaussian_tpu.engine.trainer import Trainer, TrainerConfig
+    from freegaussian_tpu.models.splat_model import SplatConfig
+    from freegaussian_tpu.models.densify import DensifyConfig
+    from freegaussian_tpu.engine.optimizers import OptimizersConfig
+
+    cfg = TrainerConfig(
+        data=str(tmp_path),
+        dataparser="synthetic",
+        output_dir=str(tmp_path / "out"),
+        capacity=128,
+        max_num_iterations=10,
+        steps_per_save=0,
+        splat=SplatConfig(
+            warm_up=0, backend="reference", background_color="black",
+            num_downscales=0,
+        ),
+        densify=DensifyConfig(refine_start=10**9),
+        optimizers=OptimizersConfig(max_steps=100),
+        dataparser_kwargs={"interval": 2},
+        **kw,
+    )
+    return Trainer(cfg)
+
+
+def test_trainer_end_to_end(tmp_path):
+    _make_dataset(tmp_path)
+    trainer = _trainer(tmp_path)
+    metrics = trainer.train(8)
+    assert np.isfinite(metrics["loss"])
+    assert int(trainer.state.step) == 8
+    ev = trainer.eval_all(max_images=2)
+    assert np.isfinite(ev["psnr"]) and ev["num_rays_per_sec"] > 0
+
+
+def test_checkpoint_roundtrip_and_cross_load(tmp_path):
+    _make_dataset(tmp_path)
+    trainer = _trainer(tmp_path)
+    trainer.train(3)
+    ckpt_dir = trainer.save(3)
+
+    trainer2 = _trainer(tmp_path)
+    trainer2.load(ckpt_dir)
+    np.testing.assert_allclose(
+        np.asarray(trainer2.state.params["means"]),
+        np.asarray(trainer.state.params["means"]),
+        atol=0,
+    )
+    assert int(trainer2.state.step) == 3
+
+    # stage-2 cross-load: fresh control vars kept, gaussians+deform loaded
+    from freegaussian_tpu.engine.checkpoints import cross_load_stage1
+
+    trainer3 = _trainer(tmp_path)
+    before_control = jax.tree.leaves(trainer3.state.control_vars)[0]
+    s2 = cross_load_stage1(ckpt_dir, trainer3.state)
+    np.testing.assert_allclose(
+        np.asarray(s2.params["means"]), np.asarray(trainer.state.params["means"]), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s2.control_vars)[0]),
+        np.asarray(before_control),
+        atol=0,
+    )
+
+
+def test_yaml_config_overlay(tmp_path):
+    from freegaussian_tpu.engine.config import trainer_config_from_yaml
+
+    base = tmp_path / "base.yaml"
+    base.write_text(
+        """
+max_num_iterations: 30001
+spatial_lr_scale: 2
+pipeline:
+  model:
+    warm_up: 3000
+    sh_degree: 3
+    cull_alpha_thresh: ${eval:0.05 * 2}
+dataparser:
+  name: synthetic
+  interval: 4
+"""
+    )
+    scene = tmp_path / "scene.yaml"
+    scene.write_text(
+        """
+max_num_iterations: 60001
+pipeline:
+  model:
+    warm_up: 0
+"""
+    )
+    cfg = trainer_config_from_yaml(base, scene)
+    assert cfg.max_num_iterations == 60001
+    assert cfg.splat.warm_up == 0
+    assert cfg.densify.cull_alpha_thresh == pytest.approx(0.1)
+    assert cfg.optimizers.spatial_lr_scale == 2
+    assert cfg.optimizers.max_steps == 60001
+    assert cfg.dataparser == "synthetic"
+    assert cfg.dataparser_kwargs == {"interval": 4}
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    rgb, loss = jax.jit(fn)(*args)
+    assert rgb.shape == (64, 64, 3)
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
