@@ -66,6 +66,18 @@ def main(argv=None):
     sp.add_argument("--interval", type=int, default=2)
     sp.add_argument("--form", choices=["velocity", "backproject"], default="velocity")
 
+    sp = sub.add_parser("train-control", help="stage-2 control training")
+    common(sp)
+    sp.add_argument("--stage1-checkpoint", required=True)
+    sp.add_argument("--gaussian-mask", default="")
+
+    sp = sub.add_parser("cluster", help="vote articulation masks onto Gaussians")
+    common(sp)
+    sp.add_argument("--key-frames", default="", help="key_frames.yaml path")
+    sp.add_argument("--scene", default="", help="scene name in key_frames.yaml")
+    sp.add_argument("--dynamic", action="store_true", help="deform to frame times")
+    sp.add_argument("--out", default="")
+
     args = p.parse_args(argv)
 
     if args.cmd == "train":
@@ -101,6 +113,69 @@ def main(argv=None):
             Path(args.data), interval=args.interval, form=args.form
         )
         print(f"wrote {n} interflow maps")
+    elif args.cmd == "train-control":
+        import dataclasses as dc
+
+        from .engine.config import trainer_config_from_yaml
+        from .engine.control_trainer import ControlTrainer
+        from .engine.trainer import TrainerConfig
+
+        if args.config:
+            cfg = trainer_config_from_yaml(args.config, args.scene_config)
+        else:
+            cfg = TrainerConfig()
+        if args.data:
+            cfg = dc.replace(cfg, data=args.data)
+        if args.dataparser:
+            cfg = dc.replace(cfg, dataparser=args.dataparser)
+        trainer = ControlTrainer(
+            cfg,
+            load_deformable_checkpoint=Path(args.stage1_checkpoint),
+            gaussian_mask_path=Path(args.gaussian_mask) if args.gaussian_mask else None,
+        )
+        metrics = trainer.train()
+        trainer.save(int(trainer.state.step))
+        print(json.dumps(metrics))
+    elif args.cmd == "cluster":
+        import numpy as np
+
+        from .preprocess.clustering import cluster_gaussians, save_gaussian_mask
+        from .preprocess.cluster_viz import export_cluster_ply
+        from .preprocess.key_frames import load_key_frames
+
+        trainer = _build_trainer(args)
+        if args.key_frames and args.scene:
+            frame_ids = load_key_frames(Path(args.key_frames), args.scene)
+        else:
+            frame_ids = list(range(len(trainer.datamanager)))
+        key_frames = {}
+        cameras = {}
+        for i in frame_ids:
+            f = trainer.datamanager.frames[i]
+            if f.atrb_mask is None:
+                continue
+            key_frames[i] = f.atrb_mask
+            cameras[i] = f.camera
+        mask = cluster_gaussians(
+            trainer.state.params,
+            trainer.state.alive,
+            key_frames,
+            cameras,
+            deform_apply=trainer.deform.apply if args.dynamic else None,
+            deform_vars=trainer.state.deform_vars if args.dynamic else None,
+            dynamic=args.dynamic,
+        )
+        m = mask.shape[1]
+        n_live = int(np.asarray(trainer.state.alive).sum())
+        out = Path(args.out) if args.out else Path(args.data) / f"gaussian_mask_{n_live}x{m}.npy"
+        save_gaussian_mask(out, mask, trainer.state.alive)
+        export_cluster_ply(
+            out.with_suffix(".ply"),
+            np.asarray(trainer.state.params["means"]),
+            np.asarray(mask),
+            np.asarray(trainer.state.alive),
+        )
+        print(f"wrote {out} and cluster PLY")
 
 
 if __name__ == "__main__":

@@ -60,7 +60,7 @@ def load_yaml_overlay(base_path: Path, scene_path: Optional[Path] = None) -> Dic
     """base.yaml + scene.yaml merge with eval resolution
     (ref: scripts/parse_config.py:parse_yaml)."""
     base = yaml.safe_load(Path(base_path).read_text()) or {}
-    if scene_path is not None and Path(scene_path).exists():
+    if scene_path and Path(scene_path).is_file():
         scene = yaml.safe_load(Path(scene_path).read_text()) or {}
         base = deep_merge(base, scene)
     return resolve_tree(base)

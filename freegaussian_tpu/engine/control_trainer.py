@@ -1,0 +1,102 @@
+"""Stage-2 trainer: freegaussian-control.
+
+Orchestrates the pipeline the reference's (missing-from-snapshot)
+`freegaussian_control_method` registration implies (SURVEY §2.1 quirk): load
+the stage-1 checkpoint, load `gaussian_mask_NxM.npy`, set the init camera to
+the first train camera (freegaussian_pipeline.py:41-50), and train the
+control MLP + Gaussian groups (no deform group, no densification)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.control_model import control_forward
+from ..models.splat_model import psnr as psnr_fn
+from ..preprocess.clustering import load_gaussian_mask
+from .checkpoints import cross_load_stage1, load_checkpoint, save_checkpoint
+from .control_train_step import make_control_train_step
+from .trainer import Trainer, TrainerConfig
+
+
+class ControlTrainer(Trainer):
+    def __init__(
+        self,
+        config: TrainerConfig,
+        *,
+        load_deformable_checkpoint: Optional[Path] = None,
+        gaussian_mask_path: Optional[Path] = None,
+    ):
+        super().__init__(config)
+        if load_deformable_checkpoint:
+            self.state = cross_load_stage1(Path(load_deformable_checkpoint), self.state)
+
+        mask_path = gaussian_mask_path
+        if mask_path is None and config.data:
+            candidates = sorted(Path(config.data).glob("gaussian_mask_*.npy"))
+            if candidates:
+                mask_path = candidates[0]
+        if mask_path is None:
+            raise FileNotFoundError(
+                "stage-2 needs a gaussian_mask_NxM.npy (run the clustering "
+                "preprocess first; ref: freegaussian_pipeline.py:45-47)"
+            )
+        self.gaussian_mask = load_gaussian_mask(
+            Path(mask_path), config.capacity, self.state.alive
+        )
+        # init camera := first train camera (freegaussian_pipeline.py:41-42)
+        self.init_time = self.datamanager.frames[0].camera.time
+
+        self.control_step_fn = make_control_train_step(
+            config.splat,
+            self.optimizers,
+            self.control.apply,
+            self.deform.apply,
+            self.gaussian_mask,
+            self.init_time,
+        )
+
+    def train(self, num_steps: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.config
+        n = num_steps if num_steps is not None else cfg.max_num_iterations
+        last: Dict[str, float] = {}
+        from ..models.splat_model import sh_degree_to_use
+        from .trainer import downscale_phase
+
+        for i in range(int(self.state.step), int(self.state.step) + n):
+            camera, batch = self.datamanager.next_train(i)
+            d = downscale_phase(cfg.splat, i)
+            camera, batch = self._downscale_batch(camera, batch, d)
+            sh_deg = sh_degree_to_use(cfg.splat, i)
+            self.state, metrics = self.control_step_fn(self.state, camera, batch, sh_deg)
+            if i % cfg.steps_per_log == 0:
+                last = {k: float(v) for k, v in metrics.items()}
+                last["step"] = i
+                with open(self.metrics_log, "a") as f:
+                    f.write(json.dumps(last) + "\n")
+            if cfg.steps_per_save and (i + 1) % cfg.steps_per_save == 0:
+                self.save(i + 1)
+        return last
+
+    def render_with_control(self, camera, atrb_values) -> Dict[str, jax.Array]:
+        """Inference: drive the articulated object with injected attribute
+         3-vectors (the GUI slider path)."""
+        return control_forward(
+            self.config.splat,
+            self.state.params,
+            self.state.alive,
+            self.gaussian_mask,
+            camera,
+            self.control.apply,
+            self.state.control_vars,
+            atrb_values=jnp.asarray(atrb_values),
+            sh_degree_now=self.config.splat.sh_degree,
+            train=False,
+        )

@@ -57,23 +57,40 @@ def build_intersections(
 
     offsets = jnp.cumsum(counts) - counts  # exclusive cumsum (N,)
 
-    # Slot -> Gaussian: for slot i, the owning Gaussian is the last g with
-    # offsets[g] <= i. searchsorted on the monotone offsets array.
+    # Slot -> Gaussian inversion WITHOUT searchsorted (random-access gathers
+    # are the slow path on TPU): scatter each Gaussian's index at its first
+    # slot, then a cummax fills the runs. Gaussians with count == 0 share an
+    # offset with their successor; dropping them keeps the scatter unique.
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    gid = jnp.clip(
-        jnp.searchsorted(offsets, slots, side="right") - 1, 0, n - 1
-    ).astype(jnp.int32)
-    local = slots - offsets[gid]  # index within the Gaussian's tile range
+    g_idx = jnp.arange(n, dtype=jnp.int32)
+    first_slot = jnp.where(counts > 0, offsets, capacity)
+    mark = jnp.full((capacity,), -1, jnp.int32).at[first_slot].max(
+        g_idx, mode="drop"
+    )
+    gid = jnp.clip(jax.lax.cummax(mark, axis=0), 0, n - 1)
     slot_valid = slots < jnp.minimum(total, capacity)
 
-    gdx = dx[gid]
-    tile_x = tminx[gid] + jnp.where(gdx > 0, local % jnp.maximum(gdx, 1), 0)
-    tile_y = tminy[gid] + jnp.where(gdx > 0, local // jnp.maximum(gdx, 1), 0)
+    # One packed row-gather instead of five scalar gathers.
+    per_g = jnp.stack(
+        [
+            offsets.astype(jnp.float32),
+            tminx.astype(jnp.float32),
+            tminy.astype(jnp.float32),
+            jnp.maximum(dx, 1).astype(jnp.float32),
+            depths.astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # (N, 5) — tile coords and offsets are < 2^24, exact in f32
+    rows = per_g[gid]  # (capacity, 5)
+    local = slots - rows[:, 0].astype(jnp.int32)
+    gdx = rows[:, 3].astype(jnp.int32)
+    tile_x = rows[:, 1].astype(jnp.int32) + local % gdx
+    tile_y = rows[:, 2].astype(jnp.int32) + local // gdx
     tile_id = (tile_y * tiles_w + tile_x).astype(jnp.int32)
 
     tile_id = jnp.where(slot_valid, tile_id, num_tiles)
     gid = jnp.where(slot_valid, gid, n)
-    depth_key = jnp.where(slot_valid, depths[jnp.clip(gid, 0, n - 1)], jnp.inf)
+    depth_key = jnp.where(slot_valid, rows[:, 4], jnp.inf)
 
     tile_sorted, _, gid_sorted = jax.lax.sort(
         (tile_id, depth_key.astype(jnp.float32), gid), num_keys=2
@@ -156,10 +173,16 @@ def build_intersections_aligned(
     ).astype(jnp.int32)  # (T+1,) segment positions
     num_segments = seg_off[-1]
 
-    # Scatter sorted intersections to aligned positions.
+    # Scatter sorted intersections to aligned positions. One packed (T, 2)
+    # row-gather covers both per-tile lookups.
     slots = jnp.arange(capacity, dtype=jnp.int32)
     ti = jnp.clip(base.tile_ids, 0, num_tiles - 1)
-    newpos = aligned_off[ti] + (slots - base.tile_offsets[ti])
+    per_tile = jnp.stack(
+        [aligned_off[:-1].astype(jnp.float32), base.tile_offsets[:-1].astype(jnp.float32)],
+        axis=-1,
+    )  # (T, 2)
+    tr = per_tile[ti]
+    newpos = tr[:, 0].astype(jnp.int32) + (slots - tr[:, 1].astype(jnp.int32))
     ok = base.tile_ids < num_tiles
     newpos = jnp.where(ok, newpos, i_al)  # drop padding
     gids_al = jnp.full((i_al,), n, jnp.int32).at[newpos].set(

@@ -1,0 +1,130 @@
+"""Full two-stage pipeline through the CLI on a tiny disk dataset:
+train -> cluster -> train-control -> eval/render, mirroring the reference's
+ns-train freegaussian / knn_gaussian / ns-train freegaussian-control flow."""
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def _make_dataset(tmp_path):
+    spec = importlib.util.spec_from_file_location("td", "tests/test_data.py")
+    td = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(td)
+    td.make_synthetic_dataset(tmp_path, n=6, h=32, w=32)
+
+
+@pytest.fixture()
+def cfg_yaml(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        """
+max_num_iterations: 6
+steps_per_save: 0
+capacity: 128
+num_random: 50
+pipeline:
+  model:
+    warm_up: 0
+    backend: reference
+    background_color: black
+    num_downscales: 0
+    refine_start: 1000000000
+dataparser:
+  name: synthetic
+  interval: 2
+"""
+    )
+    return p
+
+
+def test_cli_two_stage_pipeline(tmp_path, cfg_yaml, capsys):
+    from freegaussian_tpu.cli import main
+
+    _make_dataset(tmp_path / "data")
+
+    # stage 1
+    main([
+        "train", "--data", str(tmp_path / "data"), "--config", str(cfg_yaml),
+    ])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics = json.loads(out)
+    assert np.isfinite(metrics["loss"])
+    ckpt = Path("outputs/freegaussian/checkpoints")
+    assert ckpt.exists()
+
+    # clustering
+    main([
+        "cluster", "--data", str(tmp_path / "data"), "--config", str(cfg_yaml),
+        "--load", str(ckpt),
+    ])
+    masks = sorted((tmp_path / "data").glob("gaussian_mask_*.npy"))
+    assert masks, "clustering produced no gaussian_mask"
+    mask = np.load(masks[0])
+    assert mask.ndim == 2 and mask.shape[1] == 3
+    assert masks[0].with_suffix(".ply").exists()
+
+    # stage 2
+    main([
+        "train-control", "--data", str(tmp_path / "data"), "--config", str(cfg_yaml),
+        "--stage1-checkpoint", str(ckpt),
+        "--gaussian-mask", str(masks[0]),
+    ])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics2 = json.loads(out)
+    assert np.isfinite(metrics2["loss"])
+
+    # eval
+    main([
+        "eval", "--data", str(tmp_path / "data"), "--config", str(cfg_yaml),
+        "--load", str(ckpt),
+    ])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    ev = json.loads(out)
+    assert np.isfinite(ev["psnr"]) and ev["num_rays_per_sec"] > 0
+
+
+def test_cli_interflow(tmp_path, capsys):
+    from freegaussian_tpu.cli import main
+
+    _make_dataset(tmp_path / "data")
+    main(["interflow", "--data", str(tmp_path / "data"), "--interval", "2"])
+    out = capsys.readouterr().out
+    assert "wrote 6 interflow maps" in out
+
+
+def test_controller_inference_path(tmp_path, cfg_yaml):
+    """render_with_control drives the object with injected slider values."""
+    from freegaussian_tpu.engine.config import trainer_config_from_yaml
+    from freegaussian_tpu.engine.control_trainer import ControlTrainer
+    import dataclasses as dc
+    import jax.numpy as jnp
+
+    _make_dataset(tmp_path / "data")
+    # make a gaussian_mask manually
+    from freegaussian_tpu.engine.trainer import Trainer
+
+    cfg = trainer_config_from_yaml(cfg_yaml)
+    cfg = dc.replace(cfg, data=str(tmp_path / "data"),
+                     output_dir=str(tmp_path / "out"))
+    t1 = Trainer(cfg)
+    t1.train(2)
+    ckpt = t1.save(2)
+    n_live = int(np.asarray(t1.state.alive).sum())
+    mask = np.zeros((n_live, 2), bool)
+    mask[: n_live // 2, 0] = True
+    np.save(tmp_path / "data" / f"gaussian_mask_{n_live}x2.npy", mask)
+
+    ct = ControlTrainer(
+        cfg, load_deformable_checkpoint=ckpt,
+        gaussian_mask_path=tmp_path / "data" / f"gaussian_mask_{n_live}x2.npy",
+    )
+    ct.train(2)
+    cam = ct.datamanager.frames[0].camera
+    out = ct.render_with_control(cam, jnp.asarray([[0.3, 0.0, 0.0], [0.0, 0.0, 0.0]]))
+    assert out["rgb"].shape == (32, 32, 3)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
