@@ -164,7 +164,8 @@ class Trainer:
         freegaussian_pipeline.py:103-172)."""
         dm = self.eval_datamanager or self.datamanager
         cfg = self.config
-        psnrs, ssims = [], []
+        psnrs, ssims, lpipss = [], [], []
+        from ..models.metrics import lpips as lpips_fn
         t0 = time.time()
         n_pix = 0
         count = 0
@@ -183,18 +184,24 @@ class Trainer:
             gt = batch["image"][..., :3]
             psnrs.append(float(psnr(out["rgb"], gt)))
             ssims.append(float(ssim(out["rgb"], gt)))
+            lp = lpips_fn(np.asarray(out["rgb"]), np.asarray(gt))
+            if lp is not None:
+                lpipss.append(lp)
             n_pix += camera.width * camera.height
             count += 1
             if max_images and count >= max_images:
                 break
         wall = time.time() - t0
-        return {
+        result = {
             "psnr": float(np.mean(psnrs)),
             "ssim": float(np.mean(ssims)),
             "num_rays_per_sec": n_pix / wall,
             "fps": count / wall,
             "gaussian_count": int(jnp.sum(self.state.alive)),
         }
+        if lpipss:
+            result["lpips"] = float(np.mean(lpipss))
+        return result
 
     # ------------------------------------------------------------------
     def save(self, step: int) -> Path:

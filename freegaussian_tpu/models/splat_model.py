@@ -105,6 +105,7 @@ def forward(
     render_mode: Optional[str] = None,
     camera0: Optional[Camera] = None,
     render_flow: bool = False,
+    crop_box: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Render one camera. Static args (image size via `camera.width/height`,
     sh degree, render mode) must be concrete; traced args (params, time,
@@ -117,6 +118,11 @@ def forward(
     quats = params["quats"]
     opacities = jax.nn.sigmoid(params["opacities"][..., 0])
     sh_coeffs = colors_from_features(params)
+    if crop_box is not None:
+        # (2, 3) axis-aligned box: the eval-time crop filter
+        # (ref: freegaussian_model.py:779-799 crop_ids)
+        inside = jnp.all((means >= crop_box[0]) & (means <= crop_box[1]), axis=-1)
+        alive = alive & inside
 
     if render_mode is None:
         render_mode = "RGB+ED" if (cfg.output_depth_during_training or not train) else "RGB"
