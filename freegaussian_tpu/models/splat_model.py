@@ -52,9 +52,11 @@ class SplatConfig:
     # defines the lift ops but never wires a loss — SURVEY §7 (d)).
     flow_loss_weight: float = 0.0  # rendered-2D-flow L1 vs interflow
     flow_3d_loss_weight: float = 0.0  # deform(t0) vs interflow-lifted 3D target
-    # Pallas tuning
+    # Pallas tuning: chunk = intersections per kernel block; capacity factor
+    # bounds intersections at factor * N (overflow drops deepest isects of the
+    # largest Gaussians — raise it if isect counts approach the cap).
     chunk: int = 128
-    isect_capacity_factor: int = 4
+    isect_capacity_factor: int = 6
 
 
 def make_deform_field(cfg: SplatConfig) -> DeformField:
@@ -198,6 +200,8 @@ def forward(
         means2d_sink=means2d_sink,
         extra_channels=extra_channels,
         backend=cfg.backend,
+        chunk=cfg.chunk,
+        isect_capacity=cfg.isect_capacity_factor * params["means"].shape[0],
     )
 
     bg = background_color(cfg, bg_rng, train)

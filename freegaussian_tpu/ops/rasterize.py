@@ -74,6 +74,8 @@ def rasterization(
     means2d_sink: jax.Array | None = None,
     extra_channels: jax.Array | None = None,
     backend: str = "auto",
+    chunk: int = 128,
+    isect_capacity: int | None = None,
 ):
     """Render N Gaussians through one camera.
 
@@ -167,6 +169,8 @@ def rasterization(
             width,
             height,
             tile_size=tile_size,
+            chunk=chunk,
+            capacity=isect_capacity,
         )
     else:
         raise ValueError(f"Unknown backend: {backend}")
