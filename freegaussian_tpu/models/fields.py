@@ -18,7 +18,7 @@ training dynamics track the reference.
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import flax.linen as nn
 import jax
@@ -94,8 +94,7 @@ class DeformField(nn.Module):
         # Reference quirk kept verbatim: the 1e-5 is added after the division.
         w = w / theta + 1e-5
         v = v / theta + 1e-5
-        screw_axis = jnp.concatenate([w, v], axis=-1)
-        d_xyz = exp_se3(screw_axis, theta)
+        d_xyz = SE3Screw(w=w, v=v, theta=theta)
         rotation = TorchLinear(4)(h)
         scaling = TorchLinear(3)(h)
         return d_xyz, rotation, scaling
@@ -130,8 +129,61 @@ class ControlField(nn.Module):
         return d_xyz, d_rot, d_scale
 
 
-def apply_se3_deform(means: jax.Array, d_xyz: jax.Array) -> jax.Array:
-    """means' = dehomog(d_xyz @ homog(means)). (ref: freegaussian_model.py:843)"""
+def apply_se3_deform(means: jax.Array, d_xyz) -> jax.Array:
+    """means' = dehomog(d_xyz @ homog(means)). (ref: freegaussian_model.py:843)
+
+    d_xyz is either an (N, 4, 4) matrix stack or an SE3Screw. The screw path
+    is the TPU-fast one: it never materializes (N, 4, 4) / (N, 3, 3) arrays
+    (whose 3/4-wide trailing dims pad to 128 lanes and waste ~40x VPU
+    throughput) — everything is cross-product chains on (N,) channels.
+    """
+    if isinstance(d_xyz, SE3Screw):
+        return d_xyz.apply(means)
     homog = jnp.concatenate([means, jnp.ones_like(means[..., :1])], axis=-1)
     out = jnp.einsum("nij,nj->ni", d_xyz, homog)
     return out[..., :3] / out[..., 3:4]
+
+
+class SE3Screw(NamedTuple):
+    """Screw-axis SE(3) transform in channelized form: w, v (N, 3) and
+    theta (N, 1). Equivalent to exp_se3(concat(w, v), theta) (Modern Robotics
+    3.88; ref utils.py:137-159) without building matrices:
+
+      R m = m + sin(th) (w x m) + (1 - cos(th)) (w x (w x m))
+      p   = th v + (1 - cos(th)) (w x v) + (th - sin(th)) (w x (w x v))
+    """
+
+    w: jax.Array
+    v: jax.Array
+    theta: jax.Array
+
+    def apply(self, means: jax.Array) -> jax.Array:
+        wx, wy, wz = self.w[:, 0], self.w[:, 1], self.w[:, 2]
+        vx, vy, vz = self.v[:, 0], self.v[:, 1], self.v[:, 2]
+        mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+        th = self.theta[:, 0]
+        s = jnp.sin(th)
+        c1 = 1.0 - jnp.cos(th)
+        ts = th - s
+
+        def cross(ax, ay, az, bx, by, bz):
+            return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+        # R m
+        c1x, c1y, c1z = cross(wx, wy, wz, mx, my, mz)
+        c2x, c2y, c2z = cross(wx, wy, wz, c1x, c1y, c1z)
+        rx = mx + s * c1x + c1 * c2x
+        ry = my + s * c1y + c1 * c2y
+        rz = mz + s * c1z + c1 * c2z
+        # p
+        d1x, d1y, d1z = cross(wx, wy, wz, vx, vy, vz)
+        d2x, d2y, d2z = cross(wx, wy, wz, d1x, d1y, d1z)
+        px = th * vx + c1 * d1x + ts * d2x
+        py = th * vy + c1 * d1y + ts * d2y
+        pz = th * vz + c1 * d1z + ts * d2z
+        return jnp.stack([rx + px, ry + py, rz + pz], axis=-1)
+
+    def matrix(self) -> jax.Array:
+        """(N, 4, 4) matrices (compatibility / tests)."""
+        screw = jnp.concatenate([self.w, self.v], axis=-1)
+        return exp_se3(screw, self.theta)

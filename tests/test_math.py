@@ -216,3 +216,21 @@ def test_sh_orthonormality():
     basis = np.asarray(sh_basis(jnp.asarray(dirs, dtype=jnp.float32), 3))
     gram = 4 * np.pi * (basis.T @ basis) / dirs.shape[0]
     np.testing.assert_allclose(gram, np.eye(16), atol=0.05)
+
+
+def test_se3_screw_apply_matches_matrix():
+    """The channelized screw application equals the exp_se3 matrix path."""
+    from freegaussian_tpu.models.fields import SE3Screw, apply_se3_deform
+
+    rng = np.random.default_rng(12)
+    n = 50
+    w = rng.normal(size=(n, 3)).astype(np.float32)
+    theta = np.linalg.norm(w, axis=-1, keepdims=True).astype(np.float32)
+    w_n = w / theta + 1e-5
+    v = rng.normal(size=(n, 3)).astype(np.float32) / theta + 1e-5
+    means = rng.normal(size=(n, 3)).astype(np.float32)
+
+    screw = SE3Screw(jnp.asarray(w_n), jnp.asarray(v), jnp.asarray(theta))
+    fast = np.asarray(screw.apply(jnp.asarray(means)))
+    slow = np.asarray(apply_se3_deform(jnp.asarray(means), screw.matrix()))
+    np.testing.assert_allclose(fast, slow, atol=1e-4)

@@ -145,15 +145,20 @@ def test_import_reference_checkpoint_deform_parity(tmp_path):
     d_xyz, rot, scale = deform.apply(loaded["deform_vars"], jnp.asarray(x), jnp.asarray(t))
     np.testing.assert_allclose(np.asarray(rot), trot.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(scale), tscale.numpy(), atol=1e-5)
-    # d_xyz is exp_se3 of the torch (w, v) heads: rebuild it torch-side
+    # d_xyz is the screw transform of the torch (w, v) heads: rebuild the
+    # reference's exp_se3 matrix torch-side and compare APPLIED points
+    from freegaussian_tpu.models.fields import apply_se3_deform
     from freegaussian_tpu.ops.math import exp_se3
 
     theta = torch.norm(tw, dim=-1, keepdim=True)
     w_n = tw / theta + 1e-5
     v_n = tv / theta + 1e-5
     screw = torch.cat([w_n, v_n], -1).numpy()
-    expected = np.asarray(exp_se3(jnp.asarray(screw), jnp.asarray(theta.numpy())))
-    np.testing.assert_allclose(np.asarray(d_xyz), expected, atol=1e-4)
+    mats = jnp.asarray(np.asarray(exp_se3(jnp.asarray(screw), jnp.asarray(theta.numpy()))))
+    ours = np.asarray(apply_se3_deform(jnp.asarray(x), d_xyz))
+    homog = np.concatenate([x, np.ones((x.shape[0], 1), np.float32)], -1)
+    expected = np.einsum("nij,nj->ni", np.asarray(mats), homog)[:, :3]
+    np.testing.assert_allclose(ours, expected, atol=1e-4)
 
 
 def test_import_reference_checkpoint_control_parity(tmp_path):
