@@ -116,7 +116,18 @@ def eval_sh_colors(
     that gsplat applies after SH evaluation.
     """
     if normalize_dirs:
-        dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+        dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-24)
     k = num_sh_bases(degree)
+    if sh_coeffs.ndim == 3 and dirs.ndim == 2:
+        # Channelized contraction over (N,) arrays: the (N, K) x (N, K, 3)
+        # einsum pads its 3-wide trailing dim to 128 lanes on TPU.
+        basis = sh_basis(dirs, degree)  # (N, K)
+        outs = []
+        for c in range(sh_coeffs.shape[-1]):
+            acc = basis[:, 0] * sh_coeffs[:, 0, c]
+            for j in range(1, k):
+                acc = acc + basis[:, j] * sh_coeffs[:, j, c]
+            outs.append(acc)
+        return jnp.stack(outs, axis=-1)
     basis = sh_basis(dirs, degree)  # (..., K)
     return jnp.einsum("...k,...kc->...c", basis, sh_coeffs[..., :k, :])
