@@ -53,8 +53,7 @@ def control_state_from_deform(
         gaussian_mask = gaussian_mask & alive[:, None]
 
     def deformed(t):
-        times = jnp.broadcast_to(jnp.reshape(t, (1, 1)), (n, 1))
-        d_xyz, _, _ = deform_apply(deform_vars, means, times)
+        d_xyz, _, _ = deform_apply(deform_vars, means, jnp.reshape(t, (1, 1)))
         return apply_se3_deform(means, d_xyz)
 
     p0 = deformed(time0)

@@ -67,10 +67,11 @@ class DeformField(nn.Module):
 
     @nn.compact
     def __call__(self, x, t):
-        """x: (N, 3) canonical means; t: (N, 1) times.
+        """x: (N, 3) canonical means; t: (N, 1) or (1, 1) times (a (1, 1)
+        time — one shared frame time — runs the time branch once and
+        broadcasts, which is the common training case).
 
-        Returns (d_xyz (N, 4, 4) SE(3) transforms, d_rotation (N, 4),
-        d_scaling (N, 3)).
+        Returns (d_xyz SE3Screw, d_rotation (N, 4), d_scaling (N, 3)).
         """
         t_multires = 6 if self.is_blender else 10
         t_emb = positional_embed(t, t_multires)
@@ -78,6 +79,7 @@ class DeformField(nn.Module):
             t_emb = TorchLinear(256)(t_emb)
             t_emb = nn.relu(t_emb)
             t_emb = TorchLinear(30)(t_emb)
+        t_emb = jnp.broadcast_to(t_emb, (x.shape[0], t_emb.shape[-1]))
         x_emb = positional_embed(x, self.multires)
 
         skip_at = self.depth // 2

@@ -136,8 +136,7 @@ def forward(
     scales_lin = jnp.exp(scales_log)
     quats_n = quats / safe_norm(quats, axis=-1, keepdims=True)
     if deform_apply is not None and deform_variables is not None:
-        n = means.shape[0]
-        times = jnp.broadcast_to(camera.time.reshape(1, 1), (n, 1))
+        times = camera.time.reshape(1, 1)  # shared frame time: broadcast inside
         d_xyz, d_rot, d_scale = deform_apply(
             deform_variables, jax.lax.stop_gradient(means), times
         )
@@ -159,8 +158,7 @@ def forward(
     if camera0 is not None and deform_apply is not None and deform_variables is not None:
         from ..ops.projection import project_gaussians
 
-        n = params["means"].shape[0]
-        times0 = jnp.broadcast_to(camera0.time.reshape(1, 1), (n, 1))
+        times0 = camera0.time.reshape(1, 1)
         d_xyz0, _, _ = deform_apply(
             deform_variables, jax.lax.stop_gradient(params["means"]), times0
         )

@@ -160,12 +160,18 @@ def positional_embed(x: jax.Array, num_freqs: int, include_input: bool = True) -
     Output dim: d * (1 + 2 * num_freqs) when include_input.
     Band order matches the reference Embedder (ref: utils.py:8-56):
     [x, sin(2^0 x), cos(2^0 x), sin(2^1 x), cos(2^1 x), ...].
+
+    TPU note: the transcendentals run on a flattened 1-D view — elementwise
+    ops on (N, 3)/(N, 1) arrays pad the trailing dim to 128 lanes and waste
+    up to 128x VPU throughput.
     """
+    shape = x.shape
+    flat = x.reshape(-1)
     outs = [x] if include_input else []
-    freqs = 2.0 ** jnp.arange(num_freqs, dtype=x.dtype)
     for i in range(num_freqs):
-        outs.append(jnp.sin(x * freqs[i]))
-        outs.append(jnp.cos(x * freqs[i]))
+        f = float(2.0**i)
+        outs.append(jnp.sin(flat * f).reshape(shape))
+        outs.append(jnp.cos(flat * f).reshape(shape))
     return jnp.concatenate(outs, axis=-1)
 
 

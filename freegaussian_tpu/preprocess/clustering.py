@@ -46,9 +46,7 @@ def vote_gaussian_masks_one_frame(
     scales = jnp.exp(params["scales"])
     quats = params["quats"]
     if deform_apply is not None and deform_vars is not None:
-        n = means.shape[0]
-        times = jnp.broadcast_to(camera.time.reshape(1, 1), (n, 1))
-        d_xyz, _, _ = deform_apply(deform_vars, means, times)
+        d_xyz, _, _ = deform_apply(deform_vars, means, camera.time.reshape(1, 1))
         means = apply_se3_deform(means, d_xyz)
 
     render, alpha_img, info = rasterization(
