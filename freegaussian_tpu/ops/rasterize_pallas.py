@@ -125,12 +125,13 @@ def _alphas(cfg: _Cfg, data, px, py):
 # -----------------------------------------------------------------------------
 
 
-def _fwd_kernel(cfg: _Cfg, tile_ref, first_ref, chunk_ref, data_ref, color_ref, alpha_ref, state):
-    """state scratch: (P, 2) = [T, alive]; persists across the segment grid."""
+def _fwd_kernel(cfg: _Cfg, tile_ref, first_ref, chunk_ref, live_ref, data_ref, color_ref, alpha_ref, state):
+    """state scratch: (P, 2) = [T, alive]; persists across the segment grid.
+
+    seg_first inits the tile's output block (empty tiles get zeroed outputs);
+    seg_live gates the compute so data-less and dummy segments are ~free."""
     P = cfg.tile_size * cfg.tile_size
     s = pl.program_id(0)
-    tile = tile_ref[s]
-    px, py = _pixel_coords(cfg, tile)
 
     @pl.when(first_ref[s] == 1)
     def _():
@@ -138,28 +139,31 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, first_ref, chunk_ref, data_ref, color_ref, 
         alpha_ref[0] = jnp.zeros_like(alpha_ref[0])
         state[...] = jnp.ones((P, 2), jnp.float32)
 
-    v = _alphas(cfg, data_ref[...], px, py)
-    T = state[:, 0:1]
-    alive = state[:, 1:2]
+    @pl.when(live_ref[s] == 1)
+    def _():
+        px, py = _pixel_coords(cfg, tile_ref[s])
+        v = _alphas(cfg, data_ref[...], px, py)
+        T = state[:, 0:1]
+        alive = state[:, 1:2]
 
-    one_minus = 1.0 - v["a_eff"]
-    incl = _cumprod_lanes(one_minus)
-    incl_T = T * incl
-    excl_T = incl_T / one_minus
-    live = (incl_T > TRANSMITTANCE_EPS).astype(jnp.float32) * alive
-    w = v["a_eff"] * excl_T * live  # (P, K)
+        one_minus = 1.0 - v["a_eff"]
+        incl = _cumprod_lanes(one_minus)
+        incl_T = T * incl
+        excl_T = incl_T / one_minus
+        live = (incl_T > TRANSMITTANCE_EPS).astype(jnp.float32) * alive
+        w = v["a_eff"] * excl_T * live  # (P, K)
 
-    color_ref[0] += jax.lax.dot_general(
-        v["cols"], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    alpha_ref[0] += jnp.sum(w, axis=1, keepdims=True)
+        color_ref[0] += jax.lax.dot_general(
+            v["cols"], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        alpha_ref[0] += jnp.sum(w, axis=1, keepdims=True)
 
-    # Mosaic has no reduce_prod; one_minus >= 1 - MAX_ALPHA so log is safe.
-    T_new = T * jnp.exp(
-        jnp.sum(jnp.log(jnp.where(live > 0, one_minus, 1.0)), axis=1, keepdims=True)
-    )
-    alive_new = alive * (incl_T[:, -1:] > TRANSMITTANCE_EPS).astype(jnp.float32)
-    state[...] = jnp.concatenate([T_new, alive_new], axis=1)
+        # Mosaic has no reduce_prod; one_minus >= 1 - MAX_ALPHA so log is safe.
+        T_new = T * jnp.exp(
+            jnp.sum(jnp.log(jnp.where(live > 0, one_minus, 1.0)), axis=1, keepdims=True)
+        )
+        alive_new = alive * (incl_T[:, -1:] > TRANSMITTANCE_EPS).astype(jnp.float32)
+        state[...] = jnp.concatenate([T_new, alive_new], axis=1)
 
 
 # -----------------------------------------------------------------------------
@@ -172,6 +176,7 @@ def _bwd_kernel(
     tile_ref,
     first_ref,
     chunk_ref,
+    live_ref,
     data_ref,
     gcolor_ref,
     galpha_ref,
@@ -184,8 +189,6 @@ def _bwd_kernel(
     C = cfg.channels
     K = cfg.chunk
     s = pl.program_id(0)
-    tile = tile_ref[s]
-    px, py = _pixel_coords(cfg, tile)
 
     @pl.when(first_ref[s] == 1)
     def _():
@@ -194,6 +197,21 @@ def _bwd_kernel(
         )
         state[...] = init
 
+    @pl.when(live_ref[s] == 1)
+    def _():
+        _bwd_segment_body(
+            cfg, tile_ref, data_ref, gcolor_ref, galpha_ref, rtotal_ref,
+            dout_ref, state, s,
+        )
+
+
+def _bwd_segment_body(
+    cfg, tile_ref, data_ref, gcolor_ref, galpha_ref, rtotal_ref, dout_ref, state, s
+):
+    P = cfg.tile_size * cfg.tile_size
+    C = cfg.channels
+    K = cfg.chunk
+    px, py = _pixel_coords(cfg, tile_ref[s])
     v = _alphas(cfg, data_ref[...], px, py)
     T = state[:, 0:1]
     alive = state[:, 1:2]
@@ -270,20 +288,20 @@ def _bwd_kernel(
 # -----------------------------------------------------------------------------
 
 
-def _run_fwd(cfg: _Cfg, packed, seg_tile, seg_first, seg_chunk, num_seg_cap):
+def _run_fwd(cfg: _Cfg, packed, seg_tile, seg_first, seg_chunk, seg_live, num_seg_cap):
     P = cfg.tile_size * cfg.tile_size
     num_tiles = cfg.tiles_w * cfg.tiles_h
     D = packed.shape[0]
     K = cfg.chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_seg_cap,),
         in_specs=[
-            pl.BlockSpec((D, K), lambda s, st, sf, sc: (0, sc[s])),
+            pl.BlockSpec((D, K), lambda s, st, sf, sc, sl: (0, sc[s])),
         ],
         out_specs=[
-            pl.BlockSpec((1, cfg.channels, P), lambda s, st, sf, sc: (st[s], 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc: (st[s], 0, 0)),
+            pl.BlockSpec((1, cfg.channels, P), lambda s, st, sf, sc, sl: (st[s], 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl: (st[s], 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((P, 2), jnp.float32)],
     )
@@ -298,27 +316,27 @@ def _run_fwd(cfg: _Cfg, packed, seg_tile, seg_first, seg_chunk, num_seg_cap):
             dimension_semantics=("arbitrary",),
         ),
         interpret=cfg.interpret,
-    )(seg_tile, seg_first, seg_chunk, packed)
+    )(seg_tile, seg_first, seg_chunk, seg_live, packed)
     return color, alpha
 
 
 def _run_bwd(
-    cfg: _Cfg, packed, seg_tile, seg_first, seg_chunk, num_seg_cap,
+    cfg: _Cfg, packed, seg_tile, seg_first, seg_chunk, seg_live, num_seg_cap,
     g_color, g_alpha, r_total,
 ):
     P = cfg.tile_size * cfg.tile_size
     D = packed.shape[0]
     K = cfg.chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_seg_cap,),
         in_specs=[
-            pl.BlockSpec((D, K), lambda s, st, sf, sc: (0, sc[s])),
-            pl.BlockSpec((1, cfg.channels, P), lambda s, st, sf, sc: (st[s], 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc: (st[s], 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc: (st[s], 0, 0)),
+            pl.BlockSpec((D, K), lambda s, st, sf, sc, sl: (0, sc[s])),
+            pl.BlockSpec((1, cfg.channels, P), lambda s, st, sf, sc, sl: (st[s], 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl: (st[s], 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl: (st[s], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((D, K), lambda s, st, sf, sc: (0, sc[s])),
+        out_specs=pl.BlockSpec((D, K), lambda s, st, sf, sc, sl: (0, sc[s])),
         scratch_shapes=[pltpu.VMEM((P, 3), jnp.float32)],
     )
     return pl.pallas_call(
@@ -329,7 +347,7 @@ def _run_bwd(
             dimension_semantics=("arbitrary",),
         ),
         interpret=cfg.interpret,
-    )(seg_tile, seg_first, seg_chunk, packed, g_color, g_alpha, r_total)
+    )(seg_tile, seg_first, seg_chunk, seg_live, packed, g_color, g_alpha, r_total)
 
 
 # -----------------------------------------------------------------------------
@@ -338,25 +356,25 @@ def _run_bwd(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _rasterize_tiles(cfg, num_seg_cap, packed, seg_tile, seg_first, seg_chunk, gids, sink):
-    color, alpha = _run_fwd(cfg, packed, seg_tile, seg_first, seg_chunk, num_seg_cap)
+def _rasterize_tiles(cfg, num_seg_cap, packed, seg_tile, seg_first, seg_chunk, seg_live, gids, sink):
+    color, alpha = _run_fwd(cfg, packed, seg_tile, seg_first, seg_chunk, seg_live, num_seg_cap)
     return color, alpha
 
 
-def _rasterize_tiles_fwd(cfg, num_seg_cap, packed, seg_tile, seg_first, seg_chunk, gids, sink):
-    color, alpha = _run_fwd(cfg, packed, seg_tile, seg_first, seg_chunk, num_seg_cap)
-    res = (packed, seg_tile, seg_first, seg_chunk, gids, color, alpha, sink.shape[0])
+def _rasterize_tiles_fwd(cfg, num_seg_cap, packed, seg_tile, seg_first, seg_chunk, seg_live, gids, sink):
+    color, alpha = _run_fwd(cfg, packed, seg_tile, seg_first, seg_chunk, seg_live, num_seg_cap)
+    res = (packed, seg_tile, seg_first, seg_chunk, seg_live, gids, color, alpha, sink.shape[0])
     return (color, alpha), res
 
 
 def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
-    packed, seg_tile, seg_first, seg_chunk, gids, color, alpha, n = res
+    packed, seg_tile, seg_first, seg_chunk, seg_live, gids, color, alpha, n = res
     g_color, g_alpha = cots
     r_total = (
         jnp.einsum("tcp,tcp->tp", color, g_color)[..., None] + alpha * g_alpha
     )
     d_all = _run_bwd(
-        cfg, packed, seg_tile, seg_first, seg_chunk, num_seg_cap,
+        cfg, packed, seg_tile, seg_first, seg_chunk, seg_live, num_seg_cap,
         g_color, g_alpha, r_total,
     )
     d_packed = d_all
@@ -364,7 +382,7 @@ def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
     # Deterministic segment-sum of per-tile |grad| rows -> per-Gaussian absgrad.
     d_sink = jax.ops.segment_sum(d_abs.T, gids, num_segments=n + 1)[:n]
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
-    return d_packed, f0(seg_tile), f0(seg_first), f0(seg_chunk), f0(gids), d_sink
+    return d_packed, f0(seg_tile), f0(seg_first), f0(seg_chunk), f0(seg_live), f0(gids), d_sink
 
 
 _rasterize_tiles.defvjp(_rasterize_tiles_fwd, _rasterize_tiles_bwd)
@@ -458,6 +476,7 @@ def rasterize_pixels_pallas(
         isect.seg_tile,
         isect.seg_first,
         isect.seg_chunk,
+        isect.seg_live,
         isect.gauss_ids,
         means2d_sink,
     )

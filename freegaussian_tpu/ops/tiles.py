@@ -125,6 +125,7 @@ class AlignedIntersections(NamedTuple):
     seg_tile: jax.Array  # (S,) int32 tile of each segment; num_tiles = dummy
     seg_first: jax.Array  # (S,) int32 1 if first segment of its tile
     seg_chunk: jax.Array  # (S,) int32 aligned chunk index of the segment
+    seg_live: jax.Array  # (S,) int32 1 if the segment's chunk holds real data
     num_isects: jax.Array  # () true intersection count
     num_segments: jax.Array  # () segments in use (incl. empty-tile dummies)
     num_tiles: int
@@ -135,8 +136,8 @@ class AlignedIntersections(NamedTuple):
 
 
 def aligned_capacity_for(capacity: int, num_tiles: int, chunk: int) -> int:
-    """Worst-case aligned slots: every tile pads < chunk, empties own one
-    chunk, plus one reserved dustbin chunk for dummy segments."""
+    """Worst-case aligned slots: every nonempty tile pads < chunk (empty
+    tiles own no data chunk), plus one reserved dustbin chunk."""
     return capacity + num_tiles * chunk + chunk
 
 
@@ -163,11 +164,14 @@ def build_intersections_aligned(
     s_cap = segment_capacity_for(capacity, num_tiles, chunk)
 
     counts = base.tile_offsets[1:] - base.tile_offsets[:-1]  # (T,)
-    chunks_per_tile = jnp.maximum(-(-counts // chunk), 1)  # ceil, min 1
-    padded = chunks_per_tile * chunk
+    data_chunks = -(-counts // chunk)  # ceil; 0 for empty tiles (no data)
+    padded = data_chunks * chunk
     aligned_off = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)]
     ).astype(jnp.int32)  # (T+1,) data positions
+    # Every tile gets >= 1 segment (empty tiles need their output zeroed by a
+    # seg_first init; their chunk points at the dustbin and is marked dead).
+    chunks_per_tile = jnp.maximum(data_chunks, 1)
     seg_off = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(chunks_per_tile)]
     ).astype(jnp.int32)  # (T+1,) segment positions
@@ -197,10 +201,12 @@ def build_intersections_aligned(
     within = s - seg_off[seg_tile]
     in_use = s < num_segments
     dustbin_chunk = i_al // chunk - 1
+    has_data = counts[seg_tile] > 0
+    seg_live = (in_use & has_data).astype(jnp.int32)
     seg_chunk = jnp.where(
-        in_use, aligned_off[seg_tile] // chunk + within, dustbin_chunk
+        in_use & has_data, aligned_off[seg_tile] // chunk + within, dustbin_chunk
     ).astype(jnp.int32)
-    seg_first = jnp.where(in_use, (within == 0), True).astype(jnp.int32)
+    seg_first = jnp.where(in_use, (within == 0), False).astype(jnp.int32)
     seg_tile = jnp.where(in_use, seg_tile, num_tiles).astype(jnp.int32)
 
     return AlignedIntersections(
@@ -208,6 +214,7 @@ def build_intersections_aligned(
         seg_tile=seg_tile,
         seg_first=seg_first,
         seg_chunk=seg_chunk,
+        seg_live=seg_live,
         num_isects=base.num_isects,
         num_segments=num_segments,
         num_tiles=num_tiles,
