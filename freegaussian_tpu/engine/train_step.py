@@ -42,6 +42,7 @@ class TrainState:
     densify: DensifyState
     step: jax.Array
     key: jax.Array
+    camera_opt: Any = None  # (num_cameras, 6) SO3xR3 tangents when enabled
 
 
 def make_train_step(
@@ -52,6 +53,7 @@ def make_train_step(
     num_train_data: int,
     *,
     train_deform: bool = True,
+    train_camera_opt: bool = False,
 ):
     """Build the jitted train step.
 
@@ -68,6 +70,7 @@ def make_train_step(
         batch: Dict[str, jax.Array],
         sh_degree_now: int,
         camera0: Camera | None = None,
+        cam_idx: jax.Array | int = 0,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         key, k_bg, k_refine = jax.random.split(state.key, 3)
         capacity = state.alive.shape[0]
@@ -75,12 +78,18 @@ def make_train_step(
         last_size = (camera.height, camera.width)
         flow_active = use_flow and camera0 is not None and "flow" in batch
 
-        def compute_loss(params, deform_vars, sink):
+        def compute_loss(params, deform_vars, sink, cam_adjust):
+            if train_camera_opt and cam_adjust is not None:
+                from ..models.camera_opt import apply_camera_opt
+
+                cam_in = apply_camera_opt(cam_adjust, camera, cam_idx)
+            else:
+                cam_in = camera
             outputs = forward(
                 splat_cfg,
                 params,
                 state.alive,
-                camera,
+                cam_in,
                 deform_variables=deform_vars if train_deform else None,
                 deform_apply=deform_apply if train_deform else None,
                 step=0,  # schedules passed explicitly below
@@ -126,12 +135,18 @@ def make_train_step(
                     )
                     losses["flow_3d"] = fl3
                     total = total + gate * splat_cfg.flow_3d_loss_weight * fl3
+            if train_camera_opt and cam_adjust is not None:
+                from ..models.camera_opt import camera_opt_reg_loss
+
+                total = total + camera_opt_reg_loss(cam_adjust)
             return total, (outputs, losses)
 
         sink = jnp.zeros((capacity, 2), jnp.float32)
-        grad_fn = jax.value_and_grad(compute_loss, argnums=(0, 1, 2), has_aux=True)
-        (total, (outputs, losses)), (g_params, g_deform, absgrad) = grad_fn(
-            state.params, state.deform_vars, sink
+        grad_fn = jax.value_and_grad(
+            compute_loss, argnums=(0, 1, 2, 3), has_aux=True
+        )
+        (total, (outputs, losses)), (g_params, g_deform, absgrad, g_cam) = grad_fn(
+            state.params, state.deform_vars, sink, state.camera_opt
         )
 
         # Dead slots must not move.
@@ -147,6 +162,9 @@ def make_train_step(
         if train_deform:
             params_by_group["deform"] = state.deform_vars
             grads_by_group["deform"] = g_deform
+        if train_camera_opt and state.camera_opt is not None:
+            params_by_group["camera_opt"] = state.camera_opt
+            grads_by_group["camera_opt"] = g_cam
 
         new_groups, new_opt_states = apply_group_updates(
             optimizers, state.opt_states, params_by_group, grads_by_group
@@ -219,6 +237,7 @@ def make_train_step(
             densify=dstate,
             step=state.step + 1,
             key=key,
+            camera_opt=new_groups.get("camera_opt", state.camera_opt),
         )
         return new_state, metrics
 

@@ -139,3 +139,43 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_camera_opt_training():
+    """With camera optimization enabled, pose tangents receive updates."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("t", "tests/test_train_e2e.py")
+    t = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(t)
+    import jax.numpy as jnp
+    from freegaussian_tpu.engine.optimizers import OptimizersConfig
+    from freegaussian_tpu.engine.train_step import make_train_step
+    from freegaussian_tpu.models.camera_opt import init_camera_opt
+    from freegaussian_tpu.models.densify import DensifyConfig
+    from freegaussian_tpu.models.splat_model import SplatConfig
+
+    cfg = SplatConfig(warm_up=0, backend="reference", background_color="black")
+    cams = t.make_cameras(n=2, width=32, height=32)
+    gt = t.make_gt_scene(jax.random.PRNGKey(7), n=20)
+    images = [t.render_gt(gt, c, cfg) for c in cams]
+    rng = np.random.default_rng(0)
+    state, optimizers, deform = t._make_state(
+        jax.random.PRNGKey(0), 64,
+        (rng.normal(scale=0.5, size=(20, 3)).astype(np.float32),
+         rng.uniform(0, 255, (20, 3)).astype(np.float32)),
+        OptimizersConfig(max_steps=100, camera_opt_warmup=0),
+    )
+    state = state.replace(camera_opt=init_camera_opt(2))
+    opt_states = dict(state.opt_states)
+    opt_states["camera_opt"] = optimizers["camera_opt"].init(state.camera_opt)
+    state = state.replace(opt_states=opt_states)
+    step_fn = make_train_step(
+        cfg, DensifyConfig(refine_start=10**9), optimizers, deform.apply,
+        num_train_data=2, train_camera_opt=True,
+    )
+    for i in range(5):
+        state, m = step_fn(state, cams[i % 2], {"image": images[i % 2]}, 0,
+                           cam_idx=jnp.asarray(i % 2))
+    assert np.isfinite(float(m["loss"]))
+    assert float(jnp.abs(state.camera_opt).max()) > 0, "camera tangents never updated"
