@@ -47,7 +47,10 @@ def main():
     params, alive = init_gaussians(
         jax.random.PRNGKey(0), capacity, seed_points=(seed_xyz, seed_rgb), sh_degree=3
     )
-    cfg = SplatConfig(warm_up=0, background_color="black")
+    # Trained-scene operating point: ~4 px screen radius (the kNN init on a
+    # random cloud gives ~20 px blobs, an unrealistically dense overlap).
+    params["scales"] = jnp.full_like(params["scales"], jnp.log(0.015))
+    cfg = SplatConfig(warm_up=0, background_color="black", isect_capacity_factor=4)
     deform = DeformField(is_blender=True)
     dvars = deform.init(jax.random.PRNGKey(1), jnp.zeros((1, 3)), jnp.zeros((1, 1)))
 

@@ -225,6 +225,7 @@ def make_train_step(
             "ssim": losses["ssim"],
             "psnr": psnr(outputs["rgb"], batch["image"][..., :3]),
             "gaussian_count": jnp.sum(new_alive),
+            "num_isects": outputs["num_isects"],
         }
         for extra_key in ("flow_2d", "flow_3d"):
             if extra_key in losses:

@@ -120,6 +120,29 @@ class Trainer:
         self.metrics_log = self.out_dir / "metrics.jsonl"
 
     # ------------------------------------------------------------------
+    def _maybe_grow_isect_capacity(self, metrics) -> None:
+        """Grow the static intersection capacity (re-jit) when the measured
+        per-frame intersection count approaches the cap — the capacity-padded
+        design silently drops the deepest intersections of the largest
+        Gaussians on overflow, so the trainer self-tunes instead."""
+        if "num_isects" not in metrics:
+            return
+        cap = self.config.splat.isect_capacity_factor * self.config.capacity
+        if float(metrics["num_isects"]) > 0.85 * cap:
+            new_factor = self.config.splat.isect_capacity_factor * 2
+            splat = dataclasses.replace(
+                self.config.splat, isect_capacity_factor=new_factor
+            )
+            self.config = dataclasses.replace(self.config, splat=splat)
+            self.step_fn = make_train_step(
+                splat,
+                self.config.densify,
+                self.optimizers,
+                self.deform.apply,
+                num_train_data=len(self.datamanager),
+            )
+
+    # ------------------------------------------------------------------
     def _downscale_batch(self, camera: Camera, batch, d: int):
         if d == 1:
             return camera, batch
@@ -147,6 +170,7 @@ class Trainer:
             sh_deg = sh_degree_to_use(cfg.splat, i)
             self.state, metrics = self.step_fn(self.state, camera, batch, sh_deg)
             if i % cfg.steps_per_log == 0:
+                self._maybe_grow_isect_capacity(metrics)
                 last_metrics = {k: float(v) for k, v in metrics.items()}
                 last_metrics["step"] = i
                 last_metrics["steps_per_sec"] = (i + 1 - int(self.state.step) + n) and (

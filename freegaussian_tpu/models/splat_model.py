@@ -213,6 +213,7 @@ def forward(
         "radii": info.radii,
         "means2d": info.means2d,
         "depths": info.depths,
+        "num_isects": info.num_isects,
     }
     if extra_channels is not None:
         # Channel layout: [rgb(3), flow(2), depth?] — flow sits before ED.

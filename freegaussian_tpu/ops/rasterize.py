@@ -42,6 +42,7 @@ class RasterizeInfo(NamedTuple):
     depths: jax.Array  # (N,)
     conics: jax.Array  # (N, 3)
     compensations: jax.Array  # (N,)
+    num_isects: jax.Array  # () tile intersections this frame (capacity monitor)
 
 
 def _resolve_backend(backend: str) -> str:
@@ -156,10 +157,20 @@ def rasterization(
             height,
             tile_size=tile_size,
         )
+        from .rasterize_ref import tile_bounds
+
+        tiles_w = -(-width // tile_size)
+        tiles_h = -(-height // tile_size)
+        tnx, tmx, tny, tmy = tile_bounds(
+            jax.lax.stop_gradient(means2d), proj.radii, tile_size, tiles_w, tiles_h
+        )
+        num_isects = jnp.sum(
+            jnp.where(proj.radii > 0, (tmx - tnx) * (tmy - tny), 0)
+        ).astype(jnp.int32)
     elif backend == "pallas":
         from .rasterize_pallas import rasterize_pixels_pallas
 
-        render, alpha = rasterize_pixels_pallas(
+        render, alpha, num_isects = rasterize_pixels_pallas(
             means2d,
             proj.conics,
             channels,
@@ -186,5 +197,6 @@ def rasterization(
         depths=proj.depths,
         conics=proj.conics,
         compensations=proj.compensations,
+        num_isects=num_isects,
     )
     return render[None], alpha[None], info

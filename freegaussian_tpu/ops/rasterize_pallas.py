@@ -495,4 +495,4 @@ def rasterize_pixels_pallas(
         .transpose(0, 2, 1, 3)
         .reshape(tiles_h * ts, tiles_w * ts)[:height, :width, None]
     )
-    return render, alpha
+    return render, alpha, isect.num_isects

@@ -35,7 +35,7 @@ def test_forward_matches_oracle():
     args = make_scene()
     width, height = 48, 32
     r_ref, a_ref, _ = rasterize_pixels_reference(*args, width, height)
-    r_pal, a_pal = rasterize_pixels_pallas(*args, width, height, interpret=True)
+    r_pal, a_pal, _ = rasterize_pixels_pallas(*args, width, height, interpret=True)
     np.testing.assert_allclose(np.asarray(r_pal), np.asarray(r_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref), atol=2e-5)
 
@@ -44,7 +44,7 @@ def test_forward_matches_oracle_dense_overlap():
     """Heavy overlap exercises early termination and multi-chunk tiles."""
     args = make_scene(n=300, width=32, height=32, seed=3, opac_scale=0.999)
     r_ref, a_ref, _ = rasterize_pixels_reference(*args, 32, 32)
-    r_pal, a_pal = rasterize_pixels_pallas(*args, 32, 32, interpret=True, chunk=128)
+    r_pal, a_pal, _ = rasterize_pixels_pallas(*args, 32, 32, interpret=True, chunk=128)
     np.testing.assert_allclose(np.asarray(r_pal), np.asarray(r_ref), atol=5e-5)
     np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref), atol=5e-5)
 
@@ -53,7 +53,7 @@ def test_forward_multi_chunk_boundary():
     """Chunk smaller than per-tile counts: loop + range masking correctness."""
     args = make_scene(n=120, width=16, height=16, seed=5)
     r_ref, a_ref, _ = rasterize_pixels_reference(*args, 16, 16)
-    r_pal, a_pal = rasterize_pixels_pallas(*args, 16, 16, interpret=True, chunk=128)
+    r_pal, a_pal, _ = rasterize_pixels_pallas(*args, 16, 16, interpret=True, chunk=128)
     np.testing.assert_allclose(np.asarray(r_pal), np.asarray(r_ref), atol=2e-5)
 
 
@@ -63,7 +63,7 @@ def test_backward_matches_oracle_autodiff():
     target = jax.random.uniform(jax.random.PRNGKey(9), (32, 32, 3))
 
     def loss_pal(m, c, col, op):
-        render, alpha = rasterize_pixels_pallas(
+        render, alpha, _ = rasterize_pixels_pallas(
             m, c, col, op, depths, radii, 32, 32, interpret=True
         )
         return jnp.sum((render - target) ** 2) + 0.3 * jnp.sum(alpha**2)
@@ -148,7 +148,7 @@ def test_absgrad_matches_per_tile_oracle():
     sink = jnp.zeros((40, 2), jnp.float32)
 
     def loss_pal(m, s):
-        render, alpha = rasterize_pixels_pallas(
+        render, alpha, _ = rasterize_pixels_pallas(
             m, conics, colors, opacities, depths, radii, 32, 32,
             interpret=True, means2d_sink=s,
         )
