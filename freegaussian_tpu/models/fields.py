@@ -38,11 +38,21 @@ def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
 
 
 class TorchLinear(nn.Module):
+    """Linear layer with torch-default init.
+
+    Accepts either one input or a LIST of inputs whose feature dims sum to
+    fan_in: the kernel is sliced per input and the partial products summed —
+    mathematically `concat(inputs) @ kernel` without materializing the concat
+    (XLA concatenates are a top cost in the deform MLP on TPU, and their
+    backward adds splits/copies). Parameter layout is unchanged, so torch
+    checkpoints import identically."""
+
     features: int
 
     @nn.compact
     def __call__(self, x):
-        fan_in = x.shape[-1]
+        inputs = x if isinstance(x, (list, tuple)) else [x]
+        fan_in = sum(i.shape[-1] for i in inputs)
         bound = 1.0 / math.sqrt(fan_in)
         kernel = self.param(
             "kernel", torch_linear_kernel_init, (fan_in, self.features)
@@ -54,7 +64,14 @@ class TorchLinear(nn.Module):
             ),
             (self.features,),
         )
-        return x @ kernel + bias
+        out = None
+        offset = 0
+        for inp in inputs:
+            d = inp.shape[-1]
+            part = inp @ kernel[offset : offset + d]
+            out = part if out is None else out + part
+            offset += d
+        return out + bias
 
 
 class DeformField(nn.Module):
@@ -83,12 +100,12 @@ class DeformField(nn.Module):
         x_emb = positional_embed(x, self.multires)
 
         skip_at = self.depth // 2
-        h = jnp.concatenate([x_emb, t_emb], axis=-1)
+        h = [x_emb, t_emb]  # concat-free split-linear inputs
         for i in range(self.depth):
             h = TorchLinear(self.width)(h)
             h = nn.relu(h)
             if i == skip_at:
-                h = jnp.concatenate([x_emb, t_emb, h], axis=-1)
+                h = [x_emb, t_emb, h]
 
         w = TorchLinear(3)(h)
         v = TorchLinear(3)(h)
@@ -119,12 +136,12 @@ class ControlField(nn.Module):
         value_emb = positional_embed(value, self.multires)
         x_emb = positional_embed(x, self.multires)
         skip_at = self.depth // 2
-        h = jnp.concatenate([x_emb, value_emb], axis=-1)
+        h = [x_emb, value_emb]  # concat-free split-linear inputs
         for i in range(self.depth):
             h = TorchLinear(self.width)(h)
             h = nn.relu(h)
             if i == skip_at:
-                h = jnp.concatenate([x_emb, value_emb, h], axis=-1)
+                h = [x_emb, value_emb, h]
         d_xyz = TorchLinear(3)(h)
         d_rot = TorchLinear(4)(h)
         d_scale = TorchLinear(3)(h)
