@@ -454,6 +454,26 @@ def parse_conerf(
         xyz = (xyz - center) * scale
         seed = (xyz.astype(np.float32), rgb)
 
+    # Hand-annotated articulation masks (polygon json per key frame) and
+    # per-frame attribute values (ref: freegaussian_dataparser.py:156-286).
+    atrb_masks = mask_valids = None
+    if load_mask and (data / "annotations").exists():
+        from .conerf_annotations import discover_num_attributes, load_conerf_annotation
+
+        m = discover_num_attributes(data)
+        if m > 0:
+            masks = []
+            for fid in ids:
+                mk = load_conerf_annotation(
+                    data / "annotations" / f"{fid}.json", h, w, m, downscale
+                )
+                if mk is None:
+                    mk = np.zeros((h, w, m + 1), bool)
+                masks.append(mk)
+            atrb_masks = np.stack(masks)
+            sums = atrb_masks.sum(axis=(1, 2))
+            mask_valids = (sums == 0) | (sums > h * w / 300)
+
     c2w = np.stack(cams)
     return ParsedDataset(
         c2w=c2w,
@@ -466,6 +486,8 @@ def parse_conerf(
         height=h,
         times=times,
         image_filenames=image_filenames,
+        atrb_masks=atrb_masks,
+        mask_valids=mask_valids,
         seed_points=seed,
         dataparser_scale=scale,
     )

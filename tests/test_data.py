@@ -186,3 +186,84 @@ def test_train_eval_split():
     tr, ev = train_eval_split_fraction(10, 0.9)
     assert len(tr) == 9 and len(ev) == 1
     assert set(tr) | set(ev) == set(range(10))
+
+
+def test_conerf_annotations(tmp_path):
+    """Polygon rasterization + COCO loading + values parsing."""
+    import json as _json
+
+    from freegaussian_tpu.data.conerf_annotations import (
+        discover_num_attributes,
+        load_coco_annotations,
+        load_conerf_annotation,
+        load_conerf_values,
+        rasterize_polygons,
+    )
+
+    masks = rasterize_polygons(
+        [(0, np.array([[2, 2], [10, 2], [10, 10], [2, 10]]))], 16, 16, 2
+    )
+    assert masks.shape == (16, 16, 3)
+    assert masks[5, 5, 1] and not masks[5, 5, 0]
+    assert masks[0, 0, 0] and not masks[0, 0, 1]
+
+    ann_dir = tmp_path / "annotations"
+    ann_dir.mkdir()
+    (ann_dir / "000001.json").write_text(_json.dumps({
+        "polygons": [{"attribute": 1, "points": [[0, 0], [8, 0], [8, 8]]}]
+    }))
+    (ann_dir / "values.json").write_text(_json.dumps({"000001": [0.3, 0.7]}))
+    assert discover_num_attributes(tmp_path) == 2
+    mk = load_conerf_annotation(ann_dir / "000001.json", 16, 16, 2)
+    assert mk[1, 4, 2]
+    vals = load_conerf_values(ann_dir / "values.json")
+    np.testing.assert_allclose(vals["000001"], [0.3, 0.7])
+
+    coco = {
+        "images": [{"id": 1, "file_name": "000002.png"}],
+        "annotations": [{
+            "image_id": 1, "category_id": 1,
+            "segmentation": [[0, 0, 12, 0, 12, 12]],
+        }],
+    }
+    (tmp_path / "coco.json").write_text(_json.dumps(coco))
+    out = load_coco_annotations(tmp_path / "coco.json", 16, 16, 2)
+    assert "000002" in out and out["000002"][2, 6, 1]
+
+
+def test_parse_conerf_dataset(tmp_path):
+    """Minimal CoNeRF capture: dataset.json + camera/*.json + rgb pyramid +
+    annotations."""
+    import json as _json
+
+    ids = [f"{i:06d}" for i in range(4)]
+    (tmp_path / "dataset.json").write_text(_json.dumps({
+        "ids": ids, "train_ids": ids[:3], "val_ids": ids[3:],
+    }))
+    (tmp_path / "scene.json").write_text(_json.dumps({"scale": 0.5, "center": [0, 0, 0]}))
+    (tmp_path / "camera").mkdir()
+    for i, fid in enumerate(ids):
+        (tmp_path / "camera" / f"{fid}.json").write_text(_json.dumps({
+            "orientation": np.eye(3).tolist(),
+            "position": [0.1 * i, 0.0, 4.0],
+            "focal_length": 60.0,
+            "principal_point": [16.0, 12.0],
+        }))
+        _write_png(tmp_path / "rgb" / "2x" / f"{fid}.png", h=24, w=32, seed=i)
+    ann = tmp_path / "annotations"
+    ann.mkdir()
+    (ann / "values.json").write_text(_json.dumps({fid: [0.5] for fid in ids}))
+    (ann / ids[0] + ".json") if False else None
+    (ann / f"{ids[0]}.json").write_text(_json.dumps({
+        "polygons": [{"attribute": 0, "points": [[1, 1], [20, 1], [20, 20]]}]
+    }))
+
+    from freegaussian_tpu.data.dataparsers import parse_conerf
+
+    parsed = parse_conerf(tmp_path, "train", downscale=2)
+    assert len(parsed) == 3
+    assert parsed.width == 32 and parsed.height == 24
+    assert parsed.atrb_masks is not None and parsed.atrb_masks.shape == (3, 24, 32, 2)
+    assert parsed.atrb_masks[0, :, :, 1].any()
+    # times from global frame index
+    np.testing.assert_allclose(parsed.times, [0, 1 / 3, 2 / 3], atol=1e-6)
