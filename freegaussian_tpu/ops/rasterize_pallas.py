@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .rasterize_ref import ALPHA_THRESHOLD, MAX_ALPHA, TRANSMITTANCE_EPS
-from .tiles import build_intersections_aligned
+from .tiles import build_intersections_segments
 
 
 def _round_up(x: int, m: int) -> int:
@@ -125,33 +125,39 @@ def _alphas(cfg: _Cfg, data, px, py):
 # -----------------------------------------------------------------------------
 
 
-def _fwd_kernel(cfg: _Cfg, tile_ref, first_ref, chunk_ref, live_ref, data_ref, color_ref, alpha_ref, state):
+def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_ref, color_ref, alpha_ref, state):
     """state scratch: (P, 2) = [T, alive]; persists across the segment grid.
 
-    seg_first inits the tile's output block (empty tiles get zeroed outputs);
-    seg_live gates the compute so data-less and dummy segments are ~free."""
+    flags bit0 = first segment of tile (init outputs), bit1 = live (has real
+    slots). Boundary chunks are shared between consecutive tiles' segments;
+    [lo, hi) masks this tile's slots within the chunk."""
     P = cfg.tile_size * cfg.tile_size
+    K = cfg.chunk
     s = pl.program_id(0)
+    flags = flags_ref[s]
 
-    @pl.when(first_ref[s] == 1)
+    @pl.when(flags & 1 == 1)
     def _():
         color_ref[0] = jnp.zeros_like(color_ref[0])
         alpha_ref[0] = jnp.zeros_like(alpha_ref[0])
         state[...] = jnp.ones((P, 2), jnp.float32)
 
-    @pl.when(live_ref[s] == 1)
+    @pl.when((flags >> 1) & 1 == 1)
     def _():
         px, py = _pixel_coords(cfg, tile_ref[s])
         v = _alphas(cfg, data_ref[...], px, py)
+        slot = chunk_ref[s] * K + jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+        in_range = (slot >= lo_ref[s]) & (slot < hi_ref[s])
+        a_eff = jnp.where(in_range, v["a_eff"], 0.0)
         T = state[:, 0:1]
         alive = state[:, 1:2]
 
-        one_minus = 1.0 - v["a_eff"]
+        one_minus = 1.0 - a_eff
         incl = _cumprod_lanes(one_minus)
         incl_T = T * incl
         excl_T = incl_T / one_minus
         live = (incl_T > TRANSMITTANCE_EPS).astype(jnp.float32) * alive
-        w = v["a_eff"] * excl_T * live  # (P, K)
+        w = a_eff * excl_T * live  # (P, K)
 
         color_ref[0] += jax.lax.dot_general(
             v["cols"], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -174,9 +180,10 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, first_ref, chunk_ref, live_ref, data_ref, c
 def _bwd_kernel(
     cfg: _Cfg,
     tile_ref,
-    first_ref,
+    flags_ref,
     chunk_ref,
-    live_ref,
+    lo_ref,
+    hi_ref,
     data_ref,
     gcolor_ref,
     galpha_ref,
@@ -184,35 +191,43 @@ def _bwd_kernel(
     dout_ref,
     state,
 ):
-    """state scratch: (P, 3) = [T, alive, S_cum]."""
-    P = cfg.tile_size * cfg.tile_size
-    C = cfg.channels
-    K = cfg.chunk
-    s = pl.program_id(0)
+    """state scratch: (P, 3) = [T, alive, S_cum].
 
-    @pl.when(first_ref[s] == 1)
+    flags bit0 = first-of-tile, bit1 = live, bit2 = first toucher of this
+    chunk (writes the out block; later touchers of a shared boundary chunk
+    accumulate — they are consecutive, so the block stays VMEM-resident)."""
+    P = cfg.tile_size * cfg.tile_size
+    s = pl.program_id(0)
+    flags = flags_ref[s]
+
+    @pl.when(flags & 1 == 1)
     def _():
         init = jnp.concatenate(
             [jnp.ones((P, 2), jnp.float32), jnp.zeros((P, 1), jnp.float32)], axis=1
         )
         state[...] = init
 
-    @pl.when(live_ref[s] == 1)
+    @pl.when((flags >> 1) & 1 == 1)
     def _():
         _bwd_segment_body(
-            cfg, tile_ref, data_ref, gcolor_ref, galpha_ref, rtotal_ref,
-            dout_ref, state, s,
+            cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_ref,
+            gcolor_ref, galpha_ref, rtotal_ref, dout_ref, state, s,
         )
 
 
 def _bwd_segment_body(
-    cfg, tile_ref, data_ref, gcolor_ref, galpha_ref, rtotal_ref, dout_ref, state, s
+    cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_ref,
+    gcolor_ref, galpha_ref, rtotal_ref, dout_ref, state, s,
 ):
     P = cfg.tile_size * cfg.tile_size
     C = cfg.channels
     K = cfg.chunk
     px, py = _pixel_coords(cfg, tile_ref[s])
     v = _alphas(cfg, data_ref[...], px, py)
+    slot = chunk_ref[s] * K + jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    in_range = (slot >= lo_ref[s]) & (slot < hi_ref[s])
+    vis = v["vis"] & in_range
+    a_eff = jnp.where(in_range, v["a_eff"], 0.0)
     T = state[:, 0:1]
     alive = state[:, 1:2]
     s_cum = state[:, 2:3]
@@ -220,13 +235,13 @@ def _bwd_segment_body(
     g_alpha = galpha_ref[0]  # (P, 1)
     r_total = rtotal_ref[0]  # (P, 1)
 
-    one_minus = 1.0 - v["a_eff"]
+    one_minus = 1.0 - a_eff
     incl = _cumprod_lanes(one_minus)
     incl_T = T * incl
     excl_T = incl_T / one_minus
     live = (incl_T > TRANSMITTANCE_EPS).astype(jnp.float32) * alive
-    comp = jnp.where(v["vis"], live, 0.0)
-    w = v["a_eff"] * excl_T * comp
+    comp = jnp.where(vis, live, 0.0)
+    w = a_eff * excl_T * comp
 
     # b_k = (c_k . g_color) + g_alpha per (pixel, gaussian)
     b = (
@@ -271,9 +286,17 @@ def _bwd_segment_body(
     # (their cotangent is dropped by the outer gather transpose).
     d_rows = dout_ref.shape[0]
     tail = jnp.zeros((d_rows - 8 - C, K), jnp.float32)
-    dout_ref[...] = jnp.concatenate(
+    d_chunk = jnp.concatenate(
         [rows_small, jnp.abs(row_dmx), jnp.abs(row_dmy), dcols, tail], axis=0
     )
+
+    @pl.when((flags_ref[s] >> 2) & 1 == 1)
+    def _():
+        dout_ref[...] = d_chunk
+
+    @pl.when((flags_ref[s] >> 2) & 1 == 0)
+    def _():
+        dout_ref[...] += d_chunk
 
     T_new = T * jnp.exp(
         jnp.sum(jnp.log(jnp.where(live > 0, one_minus, 1.0)), axis=1, keepdims=True)
@@ -288,20 +311,20 @@ def _bwd_segment_body(
 # -----------------------------------------------------------------------------
 
 
-def _run_fwd(cfg: _Cfg, packed, seg_tile, seg_first, seg_chunk, seg_live, num_seg_cap):
+def _run_fwd(cfg: _Cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap):
     P = cfg.tile_size * cfg.tile_size
     num_tiles = cfg.tiles_w * cfg.tiles_h
     D = packed.shape[0]
     K = cfg.chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(num_seg_cap,),
         in_specs=[
-            pl.BlockSpec((D, K), lambda s, st, sf, sc, sl: (0, sc[s])),
+            pl.BlockSpec((D, K), lambda s, st, sf, sc, sl, sh: (0, sc[s])),
         ],
         out_specs=[
-            pl.BlockSpec((1, cfg.channels, P), lambda s, st, sf, sc, sl: (st[s], 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl: (st[s], 0, 0)),
+            pl.BlockSpec((1, cfg.channels, P), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((P, 2), jnp.float32)],
     )
@@ -316,27 +339,27 @@ def _run_fwd(cfg: _Cfg, packed, seg_tile, seg_first, seg_chunk, seg_live, num_se
             dimension_semantics=("arbitrary",),
         ),
         interpret=cfg.interpret,
-    )(seg_tile, seg_first, seg_chunk, seg_live, packed)
+    )(seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, packed)
     return color, alpha
 
 
 def _run_bwd(
-    cfg: _Cfg, packed, seg_tile, seg_first, seg_chunk, seg_live, num_seg_cap,
+    cfg: _Cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap,
     g_color, g_alpha, r_total,
 ):
     P = cfg.tile_size * cfg.tile_size
     D = packed.shape[0]
     K = cfg.chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(num_seg_cap,),
         in_specs=[
-            pl.BlockSpec((D, K), lambda s, st, sf, sc, sl: (0, sc[s])),
-            pl.BlockSpec((1, cfg.channels, P), lambda s, st, sf, sc, sl: (st[s], 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl: (st[s], 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl: (st[s], 0, 0)),
+            pl.BlockSpec((D, K), lambda s, st, sf, sc, sl, sh: (0, sc[s])),
+            pl.BlockSpec((1, cfg.channels, P), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((D, K), lambda s, st, sf, sc, sl: (0, sc[s])),
+        out_specs=pl.BlockSpec((D, K), lambda s, st, sf, sc, sl, sh: (0, sc[s])),
         scratch_shapes=[pltpu.VMEM((P, 3), jnp.float32)],
     )
     return pl.pallas_call(
@@ -347,7 +370,7 @@ def _run_bwd(
             dimension_semantics=("arbitrary",),
         ),
         interpret=cfg.interpret,
-    )(seg_tile, seg_first, seg_chunk, seg_live, packed, g_color, g_alpha, r_total)
+    )(seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, packed, g_color, g_alpha, r_total)
 
 
 # -----------------------------------------------------------------------------
@@ -356,25 +379,25 @@ def _run_bwd(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _rasterize_tiles(cfg, num_seg_cap, packed, seg_tile, seg_first, seg_chunk, seg_live, gids, sink):
-    color, alpha = _run_fwd(cfg, packed, seg_tile, seg_first, seg_chunk, seg_live, num_seg_cap)
+def _rasterize_tiles(cfg, num_seg_cap, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, gids, sink):
+    color, alpha = _run_fwd(cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap)
     return color, alpha
 
 
-def _rasterize_tiles_fwd(cfg, num_seg_cap, packed, seg_tile, seg_first, seg_chunk, seg_live, gids, sink):
-    color, alpha = _run_fwd(cfg, packed, seg_tile, seg_first, seg_chunk, seg_live, num_seg_cap)
-    res = (packed, seg_tile, seg_first, seg_chunk, seg_live, gids, color, alpha, sink.shape[0])
+def _rasterize_tiles_fwd(cfg, num_seg_cap, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, gids, sink):
+    color, alpha = _run_fwd(cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap)
+    res = (packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, gids, color, alpha, sink.shape[0])
     return (color, alpha), res
 
 
 def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
-    packed, seg_tile, seg_first, seg_chunk, seg_live, gids, color, alpha, n = res
+    packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, gids, color, alpha, n = res
     g_color, g_alpha = cots
     r_total = (
         jnp.einsum("tcp,tcp->tp", color, g_color)[..., None] + alpha * g_alpha
     )
     d_all = _run_bwd(
-        cfg, packed, seg_tile, seg_first, seg_chunk, seg_live, num_seg_cap,
+        cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap,
         g_color, g_alpha, r_total,
     )
     d_packed = d_all
@@ -382,7 +405,10 @@ def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
     # Deterministic segment-sum of per-tile |grad| rows -> per-Gaussian absgrad.
     d_sink = jax.ops.segment_sum(d_abs.T, gids, num_segments=n + 1)[:n]
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
-    return d_packed, f0(seg_tile), f0(seg_first), f0(seg_chunk), f0(seg_live), f0(gids), d_sink
+    return (
+        d_packed, f0(seg_tile), f0(seg_flags), f0(seg_chunk), f0(seg_lo),
+        f0(seg_hi), f0(gids), d_sink,
+    )
 
 
 _rasterize_tiles.defvjp(_rasterize_tiles_fwd, _rasterize_tiles_bwd)
@@ -423,7 +449,7 @@ def rasterize_pixels_pallas(
         capacity = _round_up(capacity, chunk)
 
     # Binning outputs are integer-valued (ids/offsets): no gradient path.
-    isect = build_intersections_aligned(
+    isect = build_intersections_segments(
         jax.lax.stop_gradient(means2d),
         radii,
         jax.lax.stop_gradient(depths),
@@ -464,19 +490,23 @@ def rasterize_pixels_pallas(
     per_gauss = jnp.concatenate(
         [per_gauss, jnp.zeros((1, per_gauss.shape[1]), per_gauss.dtype)], axis=0
     )
-    packed = per_gauss[isect.gauss_ids].T  # (D, I_AL) — differentiable gather
+    packed = per_gauss[isect.gauss_ids].T  # (D, capacity) — differentiable gather
 
     if means2d_sink is None:
         means2d_sink = jnp.zeros((n, 2), jnp.float32)
 
+    seg_flags = (
+        isect.seg_first + 2 * isect.seg_live + 4 * isect.seg_chunk_first
+    ).astype(jnp.int32)
     color_tiles, alpha_tiles = _rasterize_tiles(
         cfg,
         isect.num_seg_cap,
         packed,
         isect.seg_tile,
-        isect.seg_first,
+        seg_flags,
         isect.seg_chunk,
-        isect.seg_live,
+        isect.seg_lo,
+        isect.seg_hi,
         isect.gauss_ids,
         means2d_sink,
     )

@@ -111,6 +111,92 @@ def build_intersections(
     )
 
 
+class SegmentedIntersections(NamedTuple):
+    """Segment tables over the PLAIN tile-sorted intersection array (v3).
+
+    A segment is (tile, K-chunk-of-the-sorted-array); per-tile ranges need not
+    be chunk-aligned — a boundary chunk is visited by the segments of every
+    tile it spans (they are consecutive in the grid, so input/output blocks
+    for that chunk stay VMEM-resident between them; the backward's first
+    toucher writes the block, later touchers accumulate). This removes the
+    aligned layout's scatter and its T*K padding slots entirely.
+    """
+
+    gauss_ids: jax.Array  # (capacity,) sorted by (tile, depth); N = padding
+    seg_tile: jax.Array  # (S,) tile per segment; num_tiles = dummy
+    seg_first: jax.Array  # (S,) 1 if first segment of its tile (init outputs)
+    seg_live: jax.Array  # (S,) 1 if the segment covers real slots
+    seg_chunk: jax.Array  # (S,) chunk index into the sorted array
+    seg_lo: jax.Array  # (S,) first slot of this tile within the chunk
+    seg_hi: jax.Array  # (S,) one-past-last slot of this tile within the chunk
+    seg_chunk_first: jax.Array  # (S,) 1 if first segment touching its chunk
+    num_isects: jax.Array
+    num_segments: jax.Array
+    num_tiles: int
+    tiles_w: int
+    tiles_h: int
+    num_seg_cap: int
+
+
+def build_intersections_segments(
+    means2d: jax.Array,
+    radii: jax.Array,
+    depths: jax.Array,
+    width: int,
+    height: int,
+    tile_size: int,
+    capacity: int,
+    chunk: int,
+) -> SegmentedIntersections:
+    base = build_intersections(
+        means2d, radii, depths, width, height, tile_size, capacity
+    )
+    num_tiles = base.num_tiles
+    s_cap = segment_capacity_for(capacity, num_tiles, chunk)
+
+    starts = base.tile_offsets[:-1]  # (T,)
+    ends = base.tile_offsets[1:]
+    counts = ends - starts
+    c0 = starts // chunk
+    c1 = -(-ends // chunk)  # exclusive chunk end
+    nseg = jnp.where(counts > 0, c1 - c0, 1)  # empty tiles: 1 init-only segment
+    seg_off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nseg)]
+    ).astype(jnp.int32)
+    num_segments = seg_off[-1]
+
+    s = jnp.arange(s_cap, dtype=jnp.int32)
+    seg_tile = jnp.clip(
+        jnp.searchsorted(seg_off, s, side="right") - 1, 0, num_tiles - 1
+    ).astype(jnp.int32)
+    within = s - seg_off[seg_tile]
+    in_use = s < num_segments
+    has_data = counts[seg_tile] > 0
+    live = in_use & has_data
+    chunk_idx = jnp.where(live, c0[seg_tile] + within, 0).astype(jnp.int32)
+    lo = jnp.maximum(starts[seg_tile], chunk_idx * chunk)
+    hi = jnp.minimum(ends[seg_tile], (chunk_idx + 1) * chunk)
+    # First toucher of a chunk = the tile containing the chunk's first slot.
+    chunk_first = live & (starts[seg_tile] <= chunk_idx * chunk)
+
+    return SegmentedIntersections(
+        gauss_ids=base.gauss_ids,
+        seg_tile=jnp.where(in_use, seg_tile, num_tiles).astype(jnp.int32),
+        seg_first=jnp.where(in_use, (within == 0), False).astype(jnp.int32),
+        seg_live=live.astype(jnp.int32),
+        seg_chunk=chunk_idx,
+        seg_lo=jnp.where(live, lo, 0).astype(jnp.int32),
+        seg_hi=jnp.where(live, hi, 0).astype(jnp.int32),
+        seg_chunk_first=chunk_first.astype(jnp.int32),
+        num_isects=base.num_isects,
+        num_segments=num_segments,
+        num_tiles=num_tiles,
+        tiles_w=base.tiles_w,
+        tiles_h=base.tiles_h,
+        num_seg_cap=s_cap,
+    )
+
+
 class AlignedIntersections(NamedTuple):
     """Chunk-aligned per-tile layout + segment tables for the Pallas kernels.
 
