@@ -19,8 +19,20 @@ import orbax.checkpoint as ocp
 def save_checkpoint(directory: Path, step: int, state: Any) -> None:
     directory = Path(directory).absolute()
     directory.mkdir(parents=True, exist_ok=True)
+    # Re-saving a step overwrites (nerfstudio semantics); this orbax version's
+    # CheckpointManager refuses existing steps even with force, so remove the
+    # stale step directory first.
+    import shutil
+
+    stale = directory / str(step)
+    if stale.exists():
+        shutil.rmtree(stale)
     with ocp.CheckpointManager(directory) as mgr:
-        mgr.save(step, args=ocp.args.StandardSave(jax.tree.map(np.asarray, state)))
+        mgr.save(
+            step,
+            args=ocp.args.StandardSave(jax.tree.map(np.asarray, state)),
+            force=True,
+        )
         mgr.wait_until_finished()
 
 
