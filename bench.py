@@ -51,7 +51,9 @@ def main():
     # random cloud gives ~20 px blobs, an unrealistically dense overlap).
     params["scales"] = jnp.full_like(params["scales"], jnp.log(0.015))
     cfg = SplatConfig(warm_up=0, background_color="black", isect_capacity_factor=4)
-    deform = DeformField(is_blender=True)
+    from freegaussian_tpu.models.splat_model import make_deform_field
+
+    deform = make_deform_field(cfg)
     dvars = deform.init(jax.random.PRNGKey(1), jnp.zeros((1, 3)), jnp.zeros((1, 1)))
 
     c2w = np.eye(4, dtype=np.float32)

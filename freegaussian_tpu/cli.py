@@ -65,6 +65,7 @@ def main(argv=None):
     sp.add_argument("--data", required=True)
     sp.add_argument("--interval", type=int, default=2)
     sp.add_argument("--form", choices=["velocity", "backproject"], default="velocity")
+    sp.add_argument("--dataparser", choices=["synthetic", "real"], default="synthetic")
 
     sp = sub.add_parser("train-control", help="stage-2 control training")
     common(sp)
@@ -110,7 +111,8 @@ def main(argv=None):
         from .preprocess.epipolar_flow import generate_interflow_dataset
 
         n = generate_interflow_dataset(
-            Path(args.data), interval=args.interval, form=args.form
+            Path(args.data), interval=args.interval, form=args.form,
+            dataparser=args.dataparser,
         )
         print(f"wrote {n} interflow maps")
     elif args.cmd == "train-control":

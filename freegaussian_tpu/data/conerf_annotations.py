@@ -100,3 +100,50 @@ def discover_num_attributes(data_dir: Path) -> int:
         for entry in tree.get("polygons", []) or tree.get("shapes", []) or []:
             best = max(best, int(entry.get("attribute", 0)) + 1)
     return best
+
+
+def load_blender_annotations(
+    ann_dir: Path, fids, height: int, width: int, num_attributes: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Blender-exported `{fid}_segmentation.npy` masks -> (N, H, W, M+1) bool
+    stacks + (N, 1) validity, mirroring the reference loader
+    (freegaussian_dataparser.py:241-265): channel layout [attrs..., background],
+    background = pixels with no attribute."""
+    atrb_masks, mask_valids = [], []
+    for fid in fids:
+        labels = np.zeros((height, width, num_attributes + 1), np.bool_)
+        seg_path = Path(ann_dir) / f"{fid}_segmentation.npy"
+        if not seg_path.exists() or num_attributes == 0:
+            valids = np.zeros(1, np.bool_)
+        else:
+            seg = np.load(seg_path)
+            labels[..., :num_attributes] = seg[..., :num_attributes]
+            labels[labels.sum(axis=-1) == 0, -1] = True
+            valids = np.ones(1, np.bool_)
+        atrb_masks.append(labels)
+        mask_valids.append(valids)
+    return np.stack(atrb_masks), np.stack(mask_valids)
+
+
+def load_conerf_values_yaml(
+    path: Path, fids, num_attributes: int, norm_vals: bool = True
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Reference-format per-frame attribute states: a YAML list of
+    {frame, class, value} entries (freegaussian_dataparser.py:268-286).
+    Returns (atrb_vals (N, M+1), atrb_val_masks (N, M+1)); values mapped
+    0.5*(v+1) like the reference, column 0 reserved for background."""
+    import yaml
+
+    entries = yaml.safe_load(Path(path).read_text()) or []
+    fid_to_row = {int(fid): i for i, fid in enumerate(fids)}
+    vals = np.zeros((len(fids), num_attributes), np.float32)
+    val_masks = np.zeros((len(fids), num_attributes + 1), np.float32)
+    val_masks[..., -1] = True
+    for entry in entries:
+        fid, cls = int(entry["frame"]), int(entry["class"])
+        if fid in fid_to_row:
+            vals[fid_to_row[fid]][cls] = float(entry["value"])
+            val_masks[fid_to_row[fid]][cls] = True
+    vals = 0.5 * (vals + 1)
+    vals = np.hstack([np.zeros((vals.shape[0], 1), np.float32), vals])
+    return vals, val_masks

@@ -118,13 +118,20 @@ class FullImageDatamanager:
         shard_index: int = 0,
         num_shards: int = 1,
         seed: int = 0,
+        cache_device: bool = True,
     ):
+        """`cache_device`: keep converted batches resident on the device after
+        first use (the reference's optional GPU image cache,
+        freegaussian_datamanager.py:132-144) — otherwise every step pays a
+        host->device transfer, which is real latency on remote-attached TPUs."""
         self.parsed = parsed
         self.cache_uint8 = cache_uint8
+        self.cache_device = cache_device
         indices = list(range(shard_index, len(parsed), num_shards))
         self.indices = indices
         self.rng = np.random.default_rng(seed)
         self._epoch_order: List[int] = []
+        self._device_cache: Dict[int, Tuple[Camera, Dict[str, np.ndarray]]] = {}
         with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as pool:
             self.frames: List[CachedFrame] = list(pool.map(self._load_frame, indices))
 
@@ -196,13 +203,31 @@ class FullImageDatamanager:
     def next_train(self, step: int) -> Tuple[Camera, Dict[str, np.ndarray]]:
         """Random-without-replacement epoch ordering (nerfstudio
         FullImageDatamanager semantics)."""
+        _, cam, batch = self.next_train_indexed(step)
+        return cam, batch
+
+    def next_train_indexed(
+        self, step: int
+    ) -> Tuple[int, Camera, Dict[str, np.ndarray]]:
+        """Like `next_train` but also returns the frame index, so the trainer
+        can fetch the paired `camera0` for flow supervision and address
+        per-camera optimizer state."""
         if not self._epoch_order:
             self._epoch_order = list(self.rng.permutation(len(self.frames)))
         idx = self._epoch_order.pop()
-        return self.get_batch(idx)
+        cam, batch = self.get_batch(idx)
+        return idx, cam, batch
+
+    def camera0(self, idx: int) -> Camera:
+        """Paired (previous) frame's camera for the flow-derivative path."""
+        return self.frames[idx].camera0
 
     def get_batch(self, idx: int) -> Tuple[Camera, Dict[str, np.ndarray]]:
         import jax.numpy as jnp
+
+        if self.cache_device and idx in self._device_cache:
+            cam, batch = self._device_cache[idx]
+            return cam, dict(batch)
 
         f = self.frames[idx]
         image = f.image
@@ -216,6 +241,10 @@ class FullImageDatamanager:
         if f.atrb_mask is not None:
             batch["atrb_mask"] = jnp.asarray(f.atrb_mask)
             batch["mask_valid"] = jnp.asarray(f.mask_valid)
+        if self.cache_device:
+            # device_put happened via jnp.asarray; keep the device arrays so
+            # later epochs skip the host->device copy entirely
+            self._device_cache[idx] = (f.camera, dict(batch))
         return f.camera, batch
 
     def eval_frames(self):

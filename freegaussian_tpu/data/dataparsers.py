@@ -116,6 +116,9 @@ class ParsedDataset:
     dataparser_scale: float = 1.0
     dataparser_transform: Optional[np.ndarray] = None
     distortion: Optional[np.ndarray] = None  # (N, 6) k1 k2 k3 k4 p1 p2
+    scene_box: Optional[np.ndarray] = None  # (2, 3) axis-aligned aabb (OpenGL)
+    atrb_values: Optional[np.ndarray] = None  # (N, M+1) per-frame attribute states
+    atrb_val_masks: Optional[np.ndarray] = None  # (N, M+1) validity of values
 
     def __len__(self) -> int:
         return len(self.image_filenames)
@@ -354,7 +357,20 @@ def parse_real(
         atrb_masks = stacked.astype(bool)
 
     seed = None
-    ply = data / "sparse_pc.ply"
+    ply = data / meta.get("ply_file_path", "sparse_pc.ply")
+    if not ply.exists():
+        # colmap-processed dataset without a converted point cloud: convert
+        # points3D.bin -> sparse_pc.ply once, applying applied_transform
+        # (ref: freegaussian_dataparser.py:1010-1062 / nerfstudio
+        # create_ply_from_colmap; no interactive prompt — auto-convert).
+        colmap_dir = data / "colmap" / "sparse" / "0"
+        if colmap_dir.exists():
+            from .ply import create_ply_from_colmap
+
+            ply = data / "sparse_pc.ply"
+            create_ply_from_colmap(
+                colmap_dir, ply, meta.get("applied_transform")
+            )
     if ply.exists():
         xyz, rgb = read_ply_points(ply)
         xyz = (
@@ -424,23 +440,34 @@ def parse_conerf(
         scene = json.loads(scene_json.read_text())
     scale = float(scene.get("scale", 1.0)) * scene_scale
 
-    cams, focals, pps = [], [], []
-    image_filenames = []
-    for fid in ids:
+    def load_cam(fid):
         cam_json = json.loads((data / "camera" / f"{fid}.json").read_text())
-        c2w, focal, pp = _conerf_camera_to_opengl(cam_json, scale, downscale)
+        return _conerf_camera_to_opengl(cam_json, scale, downscale)
+
+    cams, focals, pps = [], [], []
+    cams0 = []
+    image_filenames = []
+    # cameras0 pairs with frame `idx - interval` of the FULL capture (by its
+    # own camera json), not with the previous frame of the selected split
+    # (ref: freegaussian_dataparser.py:489-512).
+    id_to_idx = {fid: i for i, fid in enumerate(all_ids)}
+    cam_cache = {}
+    for fid in ids:
+        c2w, focal, pp = load_cam(fid)
         cams.append(c2w)
         focals.append(focal)
         pps.append(pp)
         image_filenames.append(data / "rgb" / f"{downscale}x" / f"{fid}.png")
+        prev_fid = all_ids[max(id_to_idx[fid] - interval, 0)]
+        if prev_fid not in cam_cache:
+            cam_cache[prev_fid] = load_cam(prev_fid)[0]
+        cams0.append(cam_cache[prev_fid])
 
     # times from frame index over the full capture (ref :485-487)
-    id_to_idx = {fid: i for i, fid in enumerate(all_ids)}
     max_idx = max(len(all_ids) - 1, 1)
     times = np.array([id_to_idx[fid] / max_idx for fid in ids], np.float32)
 
     n = len(ids)
-    prev = _prev_ids(n, interval)
     import imageio.v2 as imageio
 
     img0 = imageio.imread(image_filenames[0])
@@ -458,14 +485,25 @@ def parse_conerf(
     # per-frame attribute values (ref: freegaussian_dataparser.py:156-286).
     atrb_masks = mask_valids = None
     if load_mask and (data / "annotations").exists():
-        from .conerf_annotations import discover_num_attributes, load_conerf_annotation
+        from .conerf_annotations import (
+            discover_num_attributes,
+            load_blender_annotations,
+            load_conerf_annotation,
+        )
 
+        ann_dir = data / "annotations"
+        has_blender = any(ann_dir.glob("*_segmentation.npy"))
         m = discover_num_attributes(data)
-        if m > 0:
+        if has_blender:
+            # blender-exported segmentation arrays (ref :241-265)
+            atrb_masks, mask_valids = load_blender_annotations(
+                ann_dir, ids, h, w, max(m, 1)
+            )
+        elif m > 0:
             masks = []
             for fid in ids:
                 mk = load_conerf_annotation(
-                    data / "annotations" / f"{fid}.json", h, w, m, downscale
+                    ann_dir / f"{fid}.json", h, w, m, downscale
                 )
                 if mk is None:
                     mk = np.zeros((h, w, m + 1), bool)
@@ -474,10 +512,34 @@ def parse_conerf(
             sums = atrb_masks.sum(axis=(1, 2))
             mask_valids = (sums == 0) | (sums > h * w / 300)
 
+    # scene box from scene.json bbox, converted to OpenGL axes
+    # (ref: freegaussian_dataparser.py:454-470)
+    scene_box = None
+    if "bbox" in scene:
+        aabb = (
+            np.asarray(scene["bbox"], np.float32)
+            - np.asarray(scene.get("center", [0, 0, 0]), np.float32)[None]
+        ) * scale
+        aabb = aabb[:, [0, 2, 1]]
+        aabb[:, 2] *= -1
+        scene_box = np.sort(aabb, axis=0)
+
+    # per-frame scalar attribute values (ref :268-286 load_conerf_values)
+    atrb_values = atrb_val_masks = None
+    m_attrs = atrb_masks.shape[-1] - 1 if atrb_masks is not None else 0
+    for cand in (data / "annotations" / "values.yaml", data / "values.yaml"):
+        if cand.exists():
+            from .conerf_annotations import load_conerf_values_yaml
+
+            atrb_values, atrb_val_masks = load_conerf_values_yaml(
+                cand, [int(str(fid)) for fid in ids], max(m_attrs, 1)
+            )
+            break
+
     c2w = np.stack(cams)
     return ParsedDataset(
         c2w=c2w,
-        c2w0=c2w[prev].copy(),
+        c2w0=np.stack(cams0),
         fx=np.array(focals, np.float32),
         fy=np.array(focals, np.float32),
         cx=np.array([p[0] for p in pps], np.float32),
@@ -490,6 +552,9 @@ def parse_conerf(
         mask_valids=mask_valids,
         seed_points=seed,
         dataparser_scale=scale,
+        scene_box=scene_box,
+        atrb_values=atrb_values,
+        atrb_val_masks=atrb_val_masks,
     )
 
 

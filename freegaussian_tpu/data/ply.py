@@ -92,3 +92,58 @@ def write_ply_points(path, xyz: np.ndarray, rgb: Optional[np.ndarray] = None) ->
             rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
             rec["red"], rec["green"], rec["blue"] = rgb[:, 0], rgb[:, 1], rgb[:, 2]
             f.write(rec.tobytes())
+
+
+# -----------------------------------------------------------------------------
+# colmap -> ply conversion (ref: freegaussian_dataparser.py:1010-1062, which
+# calls nerfstudio's create_ply_from_colmap for datasets processed by an old
+# ns-process-data). Reads colmap's points3D.bin / points3D.txt directly.
+# -----------------------------------------------------------------------------
+
+
+def read_colmap_points3d(recon_dir):
+    """Parse colmap sparse reconstruction points: (xyz (P, 3) f64, rgb (P, 3) u8)."""
+    import struct
+    from pathlib import Path
+
+    import numpy as np
+
+    recon_dir = Path(recon_dir)
+    bin_path = recon_dir / "points3D.bin"
+    txt_path = recon_dir / "points3D.txt"
+    if bin_path.exists():
+        xyzs, rgbs = [], []
+        with open(bin_path, "rb") as f:
+            (num_points,) = struct.unpack("<Q", f.read(8))
+            for _ in range(num_points):
+                data = struct.unpack("<Q3d3Bd", f.read(8 + 24 + 3 + 8))
+                xyzs.append(data[1:4])
+                rgbs.append(data[4:7])
+                (track_len,) = struct.unpack("<Q", f.read(8))
+                f.seek(8 * track_len, 1)
+        return np.asarray(xyzs, np.float64), np.asarray(rgbs, np.uint8)
+    if txt_path.exists():
+        xyzs, rgbs = [], []
+        for line in txt_path.read_text().splitlines():
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.split()
+            xyzs.append([float(v) for v in parts[1:4]])
+            rgbs.append([int(v) for v in parts[4:7]])
+        import numpy as np
+
+        return np.asarray(xyzs, np.float64), np.asarray(rgbs, np.uint8)
+    raise FileNotFoundError(f"no points3D.bin/.txt under {recon_dir}")
+
+
+def create_ply_from_colmap(recon_dir, out_path, applied_transform=None):
+    """Convert a colmap sparse model to a binary PLY point cloud, applying the
+    dataset's `applied_transform` (colmap world -> transforms.json world)."""
+    import numpy as np
+
+    xyz, rgb = read_colmap_points3d(recon_dir)
+    if applied_transform is not None:
+        t = np.asarray(applied_transform, np.float64)
+        xyz = xyz @ t[:3, :3].T + t[:3, 3]
+    write_ply_points(out_path, xyz.astype(np.float32), rgb)
+    return out_path

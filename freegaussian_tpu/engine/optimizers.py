@@ -38,6 +38,8 @@ class OptimizersConfig:
     deform_lr_final: float = 1.6e-6
     control_lr: float = 1.6e-4
     control_lr_final: float = 1.6e-6
+    bilateral_grid_lr: float = 5e-3
+    bilateral_grid_lr_final: float = 1e-4
     control_max_steps: int = 15000
 
 
@@ -77,6 +79,13 @@ def make_optimizers(cfg: OptimizersConfig) -> Dict[str, optax.GradientTransforma
         "control": _adam(
             exponential_decay_schedule(
                 cfg.control_lr * 5 * s, cfg.control_lr_final * s, cfg.control_max_steps
+            )
+        ),
+        # nerfstudio splatfacto's bilateral-grid group (enabled alongside
+        # use_bilateral_grid; the reference config has no explicit entry)
+        "bilateral_grid": _adam(
+            exponential_decay_schedule(
+                cfg.bilateral_grid_lr, cfg.bilateral_grid_lr_final, cfg.max_steps
             )
         ),
     }

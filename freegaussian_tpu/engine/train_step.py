@@ -43,6 +43,7 @@ class TrainState:
     step: jax.Array
     key: jax.Array
     camera_opt: Any = None  # (num_cameras, 6) SO3xR3 tangents when enabled
+    bilagrid: Any = None  # (num_images, W, Y, X, 12) grids when enabled
 
 
 def make_train_step(
@@ -63,6 +64,8 @@ def make_train_step(
     """
 
     use_flow = splat_cfg.flow_loss_weight > 0 or splat_cfg.flow_3d_loss_weight > 0
+    train_camera_opt = train_camera_opt or splat_cfg.camera_optimizer_mode != "off"
+    use_bilagrid = splat_cfg.use_bilateral_grid
 
     def step_fn(
         state: TrainState,
@@ -78,7 +81,7 @@ def make_train_step(
         last_size = (camera.height, camera.width)
         flow_active = use_flow and camera0 is not None and "flow" in batch
 
-        def compute_loss(params, deform_vars, sink, cam_adjust):
+        def compute_loss(params, deform_vars, sink, cam_adjust, grids):
             if train_camera_opt and cam_adjust is not None:
                 from ..models.camera_opt import apply_camera_opt
 
@@ -100,6 +103,8 @@ def make_train_step(
                 means2d_sink=sink,
                 camera0=camera0 if flow_active else None,
                 render_flow=flow_active and splat_cfg.flow_loss_weight > 0,
+                bilagrid=grids if use_bilagrid else None,
+                image_idx=cam_idx,
             )
             losses = loss_fn(
                 splat_cfg, outputs, batch, params, state.alive,
@@ -113,7 +118,12 @@ def make_train_step(
                     rendered_flow_loss,
                 )
 
-                gate = jnp.asarray(warmed_up, jnp.float32)
+                # flow_valid / depth0_valid: traced 0/1 gates the trainer sets
+                # for frames lacking flow or depth files (zero-filled batch
+                # entries keep the jit signature stable across frames).
+                gate = jnp.asarray(warmed_up, jnp.float32) * jnp.asarray(
+                    batch.get("flow_valid", 1.0), jnp.float32
+                )
                 if splat_cfg.flow_loss_weight > 0:
                     fl = rendered_flow_loss(
                         outputs["flow"], batch["flow"], outputs["accumulation"]
@@ -121,6 +131,9 @@ def make_train_step(
                     losses["flow_2d"] = fl
                     total = total + gate * splat_cfg.flow_loss_weight * fl
                 if splat_cfg.flow_3d_loss_weight > 0 and "depth0" in batch:
+                    gate = gate * jnp.asarray(
+                        batch.get("depth0_valid", 1.0), jnp.float32
+                    )
                     lifted = query_3d_gaussian_flow(
                         outputs["means2d"],
                         batch["depth0"],
@@ -139,15 +152,35 @@ def make_train_step(
                 from ..models.camera_opt import camera_opt_reg_loss
 
                 total = total + camera_opt_reg_loss(cam_adjust)
+            if use_bilagrid:
+                from ..models.bilagrid import total_variation_loss
+
+                tv = total_variation_loss(grids)
+                losses["tv_loss"] = tv
+                total = total + 10.0 * tv  # ref weight (freegaussian_model.py:989)
             return total, (outputs, losses)
 
         sink = jnp.zeros((capacity, 2), jnp.float32)
         grad_fn = jax.value_and_grad(
-            compute_loss, argnums=(0, 1, 2, 3), has_aux=True
+            compute_loss, argnums=(0, 1, 2, 3, 4), has_aux=True
         )
-        (total, (outputs, losses)), (g_params, g_deform, absgrad, g_cam) = grad_fn(
-            state.params, state.deform_vars, sink, state.camera_opt
+        # dummies keep one grad signature when a feature is off (their grads
+        # are zeros and are simply dropped below)
+        cam_in_arg = (
+            state.camera_opt if state.camera_opt is not None else jnp.zeros((1, 6))
         )
+        grids_arg = (
+            state.bilagrid
+            if state.bilagrid is not None
+            else jnp.zeros((1, 2, 2, 2, 12))
+        )
+        (total, (outputs, losses)), (
+            g_params,
+            g_deform,
+            absgrad,
+            g_cam,
+            g_grids,
+        ) = grad_fn(state.params, state.deform_vars, sink, cam_in_arg, grids_arg)
 
         # Dead slots must not move.
         g_params = {
@@ -165,6 +198,9 @@ def make_train_step(
         if train_camera_opt and state.camera_opt is not None:
             params_by_group["camera_opt"] = state.camera_opt
             grads_by_group["camera_opt"] = g_cam
+        if use_bilagrid and state.bilagrid is not None:
+            params_by_group["bilateral_grid"] = state.bilagrid
+            grads_by_group["bilateral_grid"] = g_grids
 
         new_groups, new_opt_states = apply_group_updates(
             optimizers, state.opt_states, params_by_group, grads_by_group
@@ -239,6 +275,7 @@ def make_train_step(
             step=state.step + 1,
             key=key,
             camera_opt=new_groups.get("camera_opt", state.camera_opt),
+            bilagrid=new_groups.get("bilateral_grid", state.bilagrid),
         )
         return new_state, metrics
 

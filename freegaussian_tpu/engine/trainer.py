@@ -40,6 +40,8 @@ class TrainerConfig:
     steps_per_save: int = 2000
     steps_per_eval_image: int = 100
     steps_per_eval_all_images: int = 1000
+    eval_all_max_images: Optional[int] = None
+    """cap on images per in-training eval_all sweep (None = whole split)"""
     steps_per_log: int = 10
     capacity: int = 1 << 19
     num_random: int = 50000
@@ -85,17 +87,47 @@ class Trainer:
             num_random=min(config.num_random, config.capacity // 2),
             sh_degree=config.splat.sh_degree,
         )
-        self.deform = DeformField(is_blender=config.splat.is_blender)
+        from ..models.splat_model import make_deform_field
+
+        self.deform = make_deform_field(config.splat)
         deform_vars = self.deform.init(k_deform, jnp.zeros((1, 3)), jnp.zeros((1, 1)))
         self.control = ControlField()
         control_vars = self.control.init(
             k_control, jnp.zeros((1, 3)), jnp.zeros((1, 3))
         )
 
+        if config.splat.isect_capacity is None:
+            # Size the intersection pipeline off the LIVE Gaussian count, not
+            # the padded capacity (6x 2^19 slots would make every sort/gather
+            # ~10x larger than needed at 50k alive); _maybe_grow_isect_capacity
+            # doubles it when measured num_isects approaches the cap.
+            n_alive0 = max(int(jnp.sum(alive)), 1)
+            cap0 = max(config.splat.isect_capacity_factor * n_alive0, 1 << 14)
+            config = dataclasses.replace(
+                config,
+                splat=dataclasses.replace(config.splat, isect_capacity=cap0),
+            )
+            self.config = config
+
+        camera_opt = None
+        if config.splat.camera_optimizer_mode != "off":
+            from ..models.camera_opt import init_camera_opt
+
+            camera_opt = init_camera_opt(len(self.datamanager))
+        bilagrid = None
+        if config.splat.use_bilateral_grid:
+            from ..models.bilagrid import init_bilateral_grids
+
+            bilagrid = init_bilateral_grids(len(self.datamanager))
+
         self.optimizers = make_optimizers(config.optimizers)
         params_by_group = {k: params[k] for k in GAUSSIAN_GROUPS}
         params_by_group["deform"] = deform_vars
         params_by_group["control"] = control_vars
+        if camera_opt is not None:
+            params_by_group["camera_opt"] = camera_opt
+        if bilagrid is not None:
+            params_by_group["bilateral_grid"] = bilagrid
         opt_states = init_opt_states(self.optimizers, params_by_group)
 
         self.state = TrainState(
@@ -107,6 +139,8 @@ class Trainer:
             densify=DensifyState.create(config.capacity),
             step=jnp.asarray(0),
             key=k_state,
+            camera_opt=camera_opt,
+            bilagrid=bilagrid,
         )
         self.step_fn = make_train_step(
             config.splat,
@@ -120,18 +154,33 @@ class Trainer:
         self.metrics_log = self.out_dir / "metrics.jsonl"
 
     # ------------------------------------------------------------------
+    def _isect_capacity(self) -> int:
+        splat = self.config.splat
+        if splat.isect_capacity is not None:
+            return splat.isect_capacity
+        return splat.isect_capacity_factor * self.config.capacity
+
     def _maybe_grow_isect_capacity(self, metrics) -> None:
         """Grow the static intersection capacity (re-jit) when the measured
         per-frame intersection count approaches the cap — the capacity-padded
         design silently drops the deepest intersections of the largest
-        Gaussians on overflow, so the trainer self-tunes instead."""
+        Gaussians on overflow, so the trainer self-tunes instead of failing
+        invisibly."""
         if "num_isects" not in metrics:
             return
-        cap = self.config.splat.isect_capacity_factor * self.config.capacity
-        if float(metrics["num_isects"]) > 0.85 * cap:
-            new_factor = self.config.splat.isect_capacity_factor * 2
+        cap = self._isect_capacity()
+        num = float(metrics["num_isects"])
+        if num > cap:
+            import warnings
+
+            warnings.warn(
+                f"intersection overflow: {int(num)} > capacity {cap}; the "
+                "deepest intersections of the largest Gaussians were DROPPED "
+                "this step (capacity is being grown)"
+            )
+        if num > 0.85 * cap:
             splat = dataclasses.replace(
-                self.config.splat, isect_capacity_factor=new_factor
+                self.config.splat, isect_capacity=2 * cap
             )
             self.config = dataclasses.replace(self.config, splat=splat)
             self.step_fn = make_train_step(
@@ -160,27 +209,111 @@ class Trainer:
     def train(self, num_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.config
         n = num_steps if num_steps is not None else cfg.max_num_iterations
-        t_start = time.time()
+        use_flow = (
+            cfg.splat.flow_loss_weight > 0 or cfg.splat.flow_3d_loss_weight > 0
+        )
         last_metrics: Dict[str, float] = {}
-        for i in range(int(self.state.step), int(self.state.step) + n):
-            camera, batch = self.datamanager.next_train(i)
+        start = int(self.state.step)
+        # plain window timer for steps/s (measures only this call's steps)
+        win_t = time.time()
+        win_step = start
+        for i in range(start, start + n):
+            idx, camera, batch = self.datamanager.next_train_indexed(i)
             d = downscale_phase(cfg.splat, i)
             camera, batch = self._downscale_batch(camera, batch, d)
             camera0 = None
+            if use_flow:
+                # Always pass camera0 + (possibly zero-filled) flow entries so
+                # the jitted step keeps ONE signature across frames; per-frame
+                # validity gates the losses numerically (train_step.py).
+                camera0 = self.datamanager.camera0(idx)
+                if d > 1:
+                    camera0 = camera0.downscaled(d)
+                h, w = camera.height, camera.width
+                if "flow" not in batch:
+                    batch["flow"] = jnp.zeros((h, w, 2), jnp.float32)
+                    batch["flow_valid"] = jnp.asarray(0.0)
+                else:
+                    batch["flow_valid"] = jnp.asarray(1.0)
+                if cfg.splat.flow_3d_loss_weight > 0:
+                    if "depth0" not in batch:
+                        batch["depth0"] = jnp.zeros((h, w, 1), jnp.float32)
+                        batch["depth0_valid"] = jnp.asarray(0.0)
+                    else:
+                        batch["depth0_valid"] = jnp.asarray(1.0)
             sh_deg = sh_degree_to_use(cfg.splat, i)
-            self.state, metrics = self.step_fn(self.state, camera, batch, sh_deg)
+            self.state, metrics = self.step_fn(
+                self.state,
+                camera,
+                batch,
+                sh_deg,
+                camera0=camera0,
+                cam_idx=jnp.asarray(idx),
+            )
             if i % cfg.steps_per_log == 0:
                 self._maybe_grow_isect_capacity(metrics)
                 last_metrics = {k: float(v) for k, v in metrics.items()}
                 last_metrics["step"] = i
-                last_metrics["steps_per_sec"] = (i + 1 - int(self.state.step) + n) and (
-                    (i + 1) / max(time.time() - t_start, 1e-9)
+                now = time.time()
+                last_metrics["steps_per_sec"] = (i + 1 - win_step) / max(
+                    now - win_t, 1e-9
                 )
+                win_t, win_step = now, i + 1
                 with open(self.metrics_log, "a") as f:
                     f.write(json.dumps(last_metrics) + "\n")
+            if (
+                cfg.steps_per_eval_all_images
+                and (i + 1) % cfg.steps_per_eval_all_images == 0
+            ):
+                ev = self.eval_all(max_images=cfg.eval_all_max_images)
+                ev["step"] = i + 1
+                ev["eval"] = "all"
+                with open(self.metrics_log, "a") as f:
+                    f.write(json.dumps(ev) + "\n")
+                win_t = time.time()  # don't bill eval time to steps/s
+                win_step = i + 1
+            elif (
+                cfg.steps_per_eval_image and (i + 1) % cfg.steps_per_eval_image == 0
+            ):
+                ev = self.eval_one(i + 1)
+                if ev is not None:
+                    with open(self.metrics_log, "a") as f:
+                        f.write(json.dumps(ev) + "\n")
+                win_t = time.time()
+                win_step = i + 1
             if cfg.steps_per_save and (i + 1) % cfg.steps_per_save == 0:
                 self.save(i + 1)
         return last_metrics
+
+    # ------------------------------------------------------------------
+    def eval_one(self, step: int) -> Optional[Dict[str, float]]:
+        """Single-image eval (the reference's steps_per_eval_image cadence,
+        freegaussian_config.py:31)."""
+        dm = self.eval_datamanager or self.datamanager
+        if len(dm) == 0:
+            return None
+        idx = step % len(dm)
+        camera, batch = dm.get_batch(idx)
+        cfg = self.config
+        out = forward(
+            cfg.splat,
+            self.state.params,
+            self.state.alive,
+            camera,
+            deform_variables=self.state.deform_vars,
+            deform_apply=self.deform.apply,
+            sh_degree_now=cfg.splat.sh_degree,
+            warmed_up=self.state.step >= cfg.splat.warm_up,
+            train=False,
+        )
+        gt = batch["image"][..., :3]
+        return {
+            "step": step,
+            "eval": "image",
+            "eval_idx": idx,
+            "psnr": float(psnr(out["rgb"], gt)),
+            "ssim": float(ssim(out["rgb"], gt)),
+        }
 
     # ------------------------------------------------------------------
     def eval_all(self, max_images: Optional[int] = None) -> Dict[str, float]:

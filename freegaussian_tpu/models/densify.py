@@ -103,13 +103,15 @@ def _scatter_new(
     valid: jax.Array,
     free_idx: jax.Array,
     offset: jax.Array,
+    num_free: jax.Array,
 ) -> Tuple[GaussianParams, jax.Array, jax.Array]:
     """Scatter `new_vals[i]` (where valid[i]) into the next free slots.
 
     Returns (params, alive, n_allocated). Overflow beyond the free-slot pool
-    is dropped (scatter mode='drop')."""
+    is dropped (scatter mode='drop'). `num_free` is the free-slot count of the
+    alive mask that built `free_idx` — it must NOT be re-derived from the
+    updated mask across chained calls (pos indexes the original free list)."""
     capacity = alive.shape[0]
-    num_free = jnp.sum(~alive)
     rank = jnp.cumsum(valid) - 1  # position among valid candidates
     pos = offset + rank
     can_place = valid & (pos < num_free)
@@ -216,6 +218,7 @@ def refine(
     dups_valid = dups & ~(low_opacity | dup_world_big)
 
     free_idx = _free_slots(new_alive)
+    num_free = jnp.sum(~new_alive)
     params_out = params
     n_alloc = jnp.asarray(0)
     for sample_vals, valid in (
@@ -224,7 +227,7 @@ def refine(
         (dup_vals, dups_valid),
     ):
         params_out, new_alive, placed = _scatter_new(
-            params_out, new_alive, sample_vals, valid, free_idx, n_alloc
+            params_out, new_alive, sample_vals, valid, free_idx, n_alloc, num_free
         )
         n_alloc = n_alloc + placed
 

@@ -42,6 +42,16 @@ class SplatConfig:
     background_color: str = "random"  # random | black | white
     use_scale_regularization: bool = False
     max_gauss_ratio: float = 10.0
+    # Camera-pose optimization (nerfstudio CameraOptimizer; ref mode "off" at
+    # freegaussian_model.py:120 but the optimizer group ships enabled,
+    # freegaussian_config.py:76-81). "SO3xR3" enables per-camera tangents.
+    camera_optimizer_mode: str = "off"  # off | SO3xR3
+    # Per-image bilateral-grid ISP correction + TV loss
+    # (ref: freegaussian_model.py:122-125, :879-882, :989)
+    use_bilateral_grid: bool = False
+    # bf16 trunk matmuls in the deform MLP (f32 master params + f32 heads);
+    # ~2x on the v5e MXU, measured parity-safe for training quality.
+    deform_bf16: bool = True
     near_plane: float = 0.01
     far_plane: float = 1e10
     tile_size: int = 16
@@ -55,12 +65,22 @@ class SplatConfig:
     # Pallas tuning: chunk = intersections per kernel block; capacity factor
     # bounds intersections at factor * N (overflow drops deepest isects of the
     # largest Gaussians — raise it if isect counts approach the cap).
+    # `isect_capacity` overrides with an ABSOLUTE slot count: the trainer sets
+    # it from the live Gaussian count (factor * alive) so the sort/gather
+    # pipeline is not sized by the padded capacity, and doubles it (re-jit)
+    # when the measured num_isects approaches the cap.
     chunk: int = 128
     isect_capacity_factor: int = 6
+    isect_capacity: Optional[int] = None
 
 
 def make_deform_field(cfg: SplatConfig) -> DeformField:
-    return DeformField(is_blender=cfg.is_blender)
+    import jax.numpy as _jnp
+
+    return DeformField(
+        is_blender=cfg.is_blender,
+        compute_dtype=_jnp.bfloat16 if cfg.deform_bf16 else _jnp.float32,
+    )
 
 
 def make_control_field(cfg: SplatConfig) -> ControlField:
@@ -108,13 +128,44 @@ def forward(
     camera0: Optional[Camera] = None,
     render_flow: bool = False,
     crop_box: Optional[jax.Array] = None,
+    bilagrid: Optional[jax.Array] = None,
+    image_idx: jax.Array | int = 0,
+    primitive_shard_axis: Optional[str] = None,
+    band_origin_y: jax.Array | int = 0,
+    band_height: Optional[int] = None,
 ) -> Dict[str, jax.Array]:
     """Render one camera. Static args (image size via `camera.width/height`,
     sh degree, render mode) must be concrete; traced args (params, time,
     warmed_up gate) may be tracers.
 
     deform_apply(variables, means, times) -> (d_xyz (N,4,4), d_rot, d_scale)
+
+    `primitive_shard_axis`: inside shard_map, run the per-Gaussian stage
+    (deform MLP, projection, SH) on this chip's 1/ng slice of the capacity
+    axis and all_gather the render attributes into the pixel stage — the
+    projection(primitive-sharded) <-> rasterization(tile-sharded) reshard of
+    SURVEY §2.3. Gradients reduce back to the shard via the gather's
+    psum_scatter transpose; full-capacity outputs (radii/means2d/...) are
+    returned gathered.
     """
+    shard_factor = 1
+    if primitive_shard_axis is not None:
+        ax = primitive_shard_axis
+        ng = jax.lax.axis_size(ax)
+        idx = jax.lax.axis_index(ax)
+        cap = params["means"].shape[0]
+        assert cap % ng == 0, "capacity must divide the primitive shard axis"
+        capl = cap // ng
+        shard_factor = ng
+
+        def take(a):
+            return jax.lax.dynamic_slice_in_dim(a, idx * capl, capl, axis=0)
+
+        params = {k: take(v) for k, v in params.items()}
+        alive = take(alive)
+        if means2d_sink is not None:
+            means2d_sink = take(means2d_sink)
+
     means = params["means"]
     scales_log = params["scales"]
     quats = params["quats"]
@@ -187,7 +238,7 @@ def forward(
         camera.viewmat[None],
         camera.K[None],
         camera.width,
-        camera.height,
+        band_height if band_height is not None else camera.height,
         tile_size=cfg.tile_size,
         near_plane=cfg.near_plane,
         far_plane=cfg.far_plane,
@@ -199,12 +250,28 @@ def forward(
         extra_channels=extra_channels,
         backend=cfg.backend,
         chunk=cfg.chunk,
-        isect_capacity=cfg.isect_capacity_factor * params["means"].shape[0],
+        isect_capacity=(
+            cfg.isect_capacity
+            if cfg.isect_capacity is not None
+            else cfg.isect_capacity_factor * params["means"].shape[0] * shard_factor
+        ),
+        gather_axis=primitive_shard_axis,
+        tile_origin_y=band_origin_y,
+        proj_height=camera.height if band_height is not None else None,
     )
+    if primitive_shard_axis is not None and means_prev is not None:
+        means_prev = jax.lax.all_gather(
+            means_prev, primitive_shard_axis, axis=0, tiled=True
+        )
 
     bg = background_color(cfg, bg_rng, train)
     rgb = render[0, ..., :3] + (1.0 - alpha[0]) * bg
     rgb = jnp.clip(rgb, 0.0, 1.0)
+    if bilagrid is not None and train:
+        # per-image ISP correction, training only (ref :879-882)
+        from .bilagrid import slice_bilateral_grid
+
+        rgb = slice_bilateral_grid(bilagrid, image_idx, rgb)
 
     out = {
         "rgb": rgb,
@@ -260,13 +327,17 @@ def loss_fn(
     simloss = 1.0 - ssim(gt, pred)
     main_loss = (1 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * simloss
 
-    if cfg.use_scale_regularization and apply_scale_reg:
+    if cfg.use_scale_regularization:
+        # `apply_scale_reg` is a traced array inside the jitted step (the
+        # reference applies the reg every 10th step) — gate numerically, a
+        # Python `if` on it would raise TracerBoolConversionError.
         scale_exp = jnp.exp(params["scales"])
         ratio = jnp.max(scale_exp, axis=-1) / jnp.clip(
             jnp.min(scale_exp, axis=-1), 1e-12, None
         )
         reg = jnp.maximum(ratio, cfg.max_gauss_ratio) - cfg.max_gauss_ratio
-        scale_reg = 0.1 * jnp.sum(reg * alive) / jnp.clip(num_alive(alive), 1, None)
+        reg_value = 0.1 * jnp.sum(reg * alive) / jnp.clip(num_alive(alive), 1, None)
+        scale_reg = jnp.where(jnp.asarray(apply_scale_reg), reg_value, 0.0)
     else:
         scale_reg = jnp.asarray(0.0)
 

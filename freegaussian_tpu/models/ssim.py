@@ -39,7 +39,7 @@ def _depthwise_blur(img: jax.Array, win: jax.Array) -> jax.Array:
     )
 
 
-def ssim(
+def ssim_map(
     img1: jax.Array,
     img2: jax.Array,
     *,
@@ -49,12 +49,16 @@ def ssim(
     k1: float = 0.01,
     k2: float = 0.03,
 ) -> jax.Array:
-    """Structural similarity between (H, W, C) or (B, C, H, W) images."""
+    """Per-window SSIM map (valid windows only): (B, C, H - w + 1, W - w + 1).
+
+    Exposed separately so the row-band-sharded loss can halo-exchange band
+    boundaries, compute the map per band, and aggregate sum/count across
+    chips — giving EXACTLY the single-chip SSIM (parallel/sharding.py)."""
     if img1.ndim == 3:  # (H, W, C) -> (1, C, H, W)
         img1 = img1.transpose(2, 0, 1)[None]
         img2 = img2.transpose(2, 0, 1)[None]
-    # Clamp the window to the image (row-band sharding can make H < 11);
-    # keep it odd. With the full image this is exactly pytorch_msssim.
+    # Clamp the window to the image; keep it odd. With the full image this is
+    # exactly pytorch_msssim.
     max_win = min(img1.shape[2], img1.shape[3])
     if win_size > max_win:
         win_size = max_win if max_win % 2 == 1 else max_win - 1
@@ -73,5 +77,28 @@ def ssim(
     sigma12 = _depthwise_blur(img1 * img2, win) - mu1_mu2
 
     cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
-    ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
-    return jnp.mean(ssim_map)
+    return ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
+
+
+def ssim(
+    img1: jax.Array,
+    img2: jax.Array,
+    *,
+    data_range: float = 1.0,
+    win_size: int = 11,
+    win_sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jax.Array:
+    """Structural similarity between (H, W, C) or (B, C, H, W) images."""
+    return jnp.mean(
+        ssim_map(
+            img1,
+            img2,
+            data_range=data_range,
+            win_size=win_size,
+            win_sigma=win_sigma,
+            k1=k1,
+            k2=k2,
+        )
+    )

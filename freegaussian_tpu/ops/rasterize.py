@@ -43,6 +43,13 @@ class RasterizeInfo(NamedTuple):
     conics: jax.Array  # (N, 3)
     compensations: jax.Array  # (N,)
     num_isects: jax.Array  # () tile intersections this frame (capacity monitor)
+    # packed=True extras (gsplat packed-mode contract, consumed by clustering
+    # tools — ref preprocess/knn_gaussian.py:93-113). Capacity-padded arrays;
+    # slots >= num_isects carry gaussian_ids == N (the padding id).
+    gaussian_ids: jax.Array | None = None  # (I_CAP,) int32
+    isect_means2d: jax.Array | None = None  # (I_CAP, 2) per-intersection centers
+    isect_depths: jax.Array | None = None  # (I_CAP,)
+    tile_ids: jax.Array | None = None  # (I_CAP,) int32 row-major tile index
 
 
 def _resolve_backend(backend: str) -> str:
@@ -77,6 +84,10 @@ def rasterization(
     backend: str = "auto",
     chunk: int = 128,
     isect_capacity: int | None = None,
+    packed: bool = False,
+    gather_axis: str | None = None,
+    tile_origin_y: jax.Array | int = 0,
+    proj_height: int | None = None,
 ):
     """Render N Gaussians through one camera.
 
@@ -93,6 +104,12 @@ def rasterization(
     viewmat = viewmats.reshape(-1, 4, 4)[0]
     K = Ks.reshape(-1, 3, 3)[0]
 
+    # `tile_origin_y`/`proj_height`: render a horizontal band [origin, origin
+    # + height) of a `proj_height`-tall full frame (the tile-sharded
+    # rasterizer, parallel/sharding.py). Projection (EWA frustum clamps,
+    # screen culling) always runs against the FULL frame so per-Gaussian
+    # attributes are bit-identical to the single-chip path; only the pixel
+    # stage sees band coordinates.
     proj = project_gaussians(
         means,
         quats,
@@ -100,7 +117,7 @@ def rasterization(
         viewmat,
         K,
         width,
-        height,
+        proj_height if proj_height is not None else height,
         near_plane=near_plane,
         far_plane=far_plane,
         radius_clip=radius_clip,
@@ -145,14 +162,45 @@ def rasterization(
         else:
             channels = jnp.concatenate([channels, extra_channels], axis=-1)
 
+    depths_full = proj.depths
+    radii_full = proj.radii
+    compensations_full = proj.compensations
+    if gather_axis is not None:
+        # Primitive-sharded -> tile-sharded reshard (SURVEY §2.3): the
+        # per-Gaussian stage above ran on this chip's Gaussian shard; gather
+        # the render attributes over the mesh axis so the pixel stage sees the
+        # full set. The transpose of all_gather is psum_scatter, so backward
+        # automatically reduces per-Gaussian gradients back to their shard.
+        def g(a):
+            return jax.lax.all_gather(a, gather_axis, axis=0, tiled=True)
+
+        means2d = g(means2d)
+        channels = g(channels)
+        opac = g(opac)
+        depths_full = g(depths_full)
+        radii_full = g(radii_full)
+        compensations_full = g(compensations_full)
+        conics = g(proj.conics)
+    else:
+        conics = proj.conics
+
+    # Band shift for the pixel stage (no-op for full-frame rendering). The
+    # info/means2d output stays in FULL-frame coordinates.
+    if isinstance(tile_origin_y, (int, float)) and tile_origin_y == 0:
+        means2d_px = means2d
+    else:
+        means2d_px = means2d - jnp.stack(
+            [jnp.zeros((), means2d.dtype), jnp.asarray(tile_origin_y, means2d.dtype)]
+        )
+
     if backend == "reference":
         render, alpha, _ = rasterize_pixels_reference(
-            means2d,
-            proj.conics,
+            means2d_px,
+            conics,
             channels,
             opac,
-            proj.depths,
-            proj.radii,
+            depths_full,
+            radii_full,
             width,
             height,
             tile_size=tile_size,
@@ -162,21 +210,21 @@ def rasterization(
         tiles_w = -(-width // tile_size)
         tiles_h = -(-height // tile_size)
         tnx, tmx, tny, tmy = tile_bounds(
-            jax.lax.stop_gradient(means2d), proj.radii, tile_size, tiles_w, tiles_h
+            jax.lax.stop_gradient(means2d_px), radii_full, tile_size, tiles_w, tiles_h
         )
         num_isects = jnp.sum(
-            jnp.where(proj.radii > 0, (tmx - tnx) * (tmy - tny), 0)
+            jnp.where(radii_full > 0, (tmx - tnx) * (tmy - tny), 0)
         ).astype(jnp.int32)
     elif backend == "pallas":
         from .rasterize_pallas import rasterize_pixels_pallas
 
         render, alpha, num_isects = rasterize_pixels_pallas(
-            means2d,
-            proj.conics,
+            means2d_px,
+            conics,
             channels,
             opac,
-            proj.depths,
-            proj.radii,
+            depths_full,
+            radii_full,
             width,
             height,
             tile_size=tile_size,
@@ -191,12 +239,45 @@ def rasterization(
         depth = render[..., -1:] / jnp.clip(alpha, 1e-10, None)
         render = jnp.concatenate([render[..., :-1], depth], axis=-1)
 
+    packed_info = {}
+    if packed:
+        # Per-intersection arrays in (tile, depth)-sorted order, straight from
+        # the binning stage (SURVEY §2.2 packed mode). The gathers route
+        # through the differentiable means2d/depths, so downstream losses on
+        # per-intersection quantities backpropagate.
+        from .tiles import build_intersections
+
+        n = means.shape[0]
+        cap = isect_capacity
+        if cap is None:
+            cap = max(4 * n, 1024)
+        cap = ((cap + chunk - 1) // chunk) * chunk
+        isect = build_intersections(
+            jax.lax.stop_gradient(means2d_px),
+            radii_full,
+            jax.lax.stop_gradient(depths_full),
+            width,
+            height,
+            tile_size,
+            cap,
+        )
+        means2d_pad = jnp.concatenate([means2d, jnp.zeros((1, 2))], axis=0)
+        depths_pad = jnp.concatenate([depths_full, jnp.zeros((1,))], axis=0)
+        packed_info = dict(
+            gaussian_ids=isect.gauss_ids,
+            isect_means2d=means2d_pad[isect.gauss_ids],
+            isect_depths=depths_pad[isect.gauss_ids],
+            tile_ids=isect.tile_ids,
+        )
+        num_isects = isect.num_isects
+
     info = RasterizeInfo(
         means2d=means2d,
-        radii=proj.radii,
-        depths=proj.depths,
-        conics=proj.conics,
-        compensations=proj.compensations,
+        radii=radii_full,
+        depths=depths_full,
+        conics=conics,
+        compensations=compensations_full,
         num_isects=num_isects,
+        **packed_info,
     )
     return render[None], alpha[None], info

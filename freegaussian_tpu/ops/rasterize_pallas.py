@@ -47,6 +47,54 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# -----------------------------------------------------------------------------
+# Packed-row gather with a sort-based segment-sum backward.
+#
+# The autodiff transpose of the per-intersection row gather is an XLA
+# scatter-add into (N, D) — measured ~9 ms at 2^19 rows on v5e (the round-1
+# bottleneck, docs/NOTES_ROUND1.md). This custom VJP instead groups the
+# cotangent rows by Gaussian id with one int sort + one row gather, reduces
+# each contiguous group with cumsum + boundary differences (offsets/counts
+# come free from the binning stage), and costs ~6.3 ms — deterministic, no
+# atomics, no scatter.
+# -----------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _gather_rows(per_gauss, gids, offsets, counts):
+    """per_gauss: (N + 1, D) with zero padding row; gids: (cap,) int32 with
+    padding id N; offsets/counts: (N,) expansion-order layout from binning."""
+    return per_gauss[gids]
+
+
+def _gather_rows_fwd(per_gauss, gids, offsets, counts):
+    return per_gauss[gids], (gids, offsets, counts, per_gauss.shape[0] - 1)
+
+
+def _gather_rows_bwd(res, d_rows):
+    gids, offsets, counts, n = res
+    cap, d = d_rows.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    gs, order = jax.lax.sort((gids, iota), num_keys=1)
+    grouped = d_rows[order]
+    # Zero rows of padding / dropped slots so overflow never leaks stale
+    # values into the boundary differences below.
+    grouped = jnp.where((gs < n)[:, None], grouped, 0.0)
+    cs = jnp.cumsum(grouped, axis=0)
+    ends = jnp.clip(offsets + counts - 1, 0, cap - 1)
+    e = cs[ends]
+    s = jnp.where(
+        (offsets > 0)[:, None], cs[jnp.clip(offsets - 1, 0, cap - 1)], 0.0
+    )
+    g = jnp.where((counts > 0)[:, None], e - s, 0.0)  # (N, D)
+    g_full = jnp.concatenate([g, jnp.zeros((1, d), g.dtype)], axis=0)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return g_full, f0(gids), f0(offsets), f0(counts)
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 @dataclasses.dataclass(frozen=True)
 class _Cfg:
     width: int
@@ -59,28 +107,33 @@ class _Cfg:
     interpret: bool
 
 
-def _cumprod_lanes(x: jax.Array) -> jax.Array:
-    """Inclusive prefix product along axis 1 via log-step doubling."""
-    p, k = x.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (p, k), 1)
-    shift = 1
-    while shift < k:
-        rolled = pltpu.roll(x, shift, axis=1)
-        x = x * jnp.where(lane >= shift, rolled, 1.0)
-        shift *= 2
-    return x
+def _prefix_matrix(k: int) -> jax.Array:
+    """(K, K) matrix M with M[i, j] = 1 for i <= j: x @ M = inclusive cumsum."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return (i <= j).astype(jnp.float32)
 
 
 def _cumsum_lanes(x: jax.Array) -> jax.Array:
-    """Inclusive prefix sum along axis 1 via log-step doubling."""
-    p, k = x.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (p, k), 1)
-    shift = 1
-    while shift < k:
-        rolled = pltpu.roll(x, shift, axis=1)
-        x = x + jnp.where(lane >= shift, rolled, 0.0)
-        shift *= 2
-    return x
+    """Inclusive prefix sum along axis 1 as ONE MXU matmul against a
+    triangular ones matrix — replaces the log-step roll/select ladder (~21
+    VPU passes for K=128), moving half the kernels' VPU budget onto the
+    otherwise-idle MXU. HIGHEST precision keeps f32 accuracy."""
+    k = x.shape[1]
+    return jax.lax.dot_general(
+        x,
+        _prefix_matrix(k),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _cumprod_lanes(x: jax.Array) -> jax.Array:
+    """Inclusive prefix product along axis 1 via exp(cumsum(log x)) on the
+    MXU. Inputs are transmittance factors in [1 - MAX_ALPHA, 1], so the log
+    stays finite (the same identity the kernels already use for T_new)."""
+    return jnp.exp(_cumsum_lanes(jnp.log(x)))
 
 
 def _pixel_coords(cfg: _Cfg, tile):
@@ -159,8 +212,11 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
         live = (incl_T > TRANSMITTANCE_EPS).astype(jnp.float32) * alive
         w = a_eff * excl_T * live  # (P, K)
 
+        # precision=HIGHEST: the MXU truncates f32 inputs to bf16 by default,
+        # which breaks gradient parity with the f32 oracle on real hardware.
         color_ref[0] += jax.lax.dot_general(
-            v["cols"], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            v["cols"], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         alpha_ref[0] += jnp.sum(w, axis=1, keepdims=True)
 
@@ -248,6 +304,7 @@ def _bwd_segment_body(
         jax.lax.dot_general(
             g_color, v["cols"], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         + g_alpha
     )
@@ -280,7 +337,8 @@ def _bwd_segment_body(
         axis=0,
     )  # (6, K)
     dcols = jax.lax.dot_general(
-        g_color, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        g_color, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (C, K)
     # Row layout mirrors the packed input; absgrad rows live in pad rows 6-7
     # (their cotangent is dropped by the outer gather transpose).
@@ -394,7 +452,10 @@ def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
     packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, gids, color, alpha, n = res
     g_color, g_alpha = cots
     r_total = (
-        jnp.einsum("tcp,tcp->tp", color, g_color)[..., None] + alpha * g_alpha
+        jnp.einsum(
+            "tcp,tcp->tp", color, g_color, precision=jax.lax.Precision.HIGHEST
+        )[..., None]
+        + alpha * g_alpha
     )
     d_all = _run_bwd(
         cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap,
@@ -490,7 +551,9 @@ def rasterize_pixels_pallas(
     per_gauss = jnp.concatenate(
         [per_gauss, jnp.zeros((1, per_gauss.shape[1]), per_gauss.dtype)], axis=0
     )
-    packed = per_gauss[isect.gauss_ids].T  # (D, capacity) — differentiable gather
+    packed = _gather_rows(
+        per_gauss, isect.gauss_ids, isect.offsets, isect.counts
+    ).T  # (D, capacity) — differentiable; custom sort-based segment-sum VJP
 
     if means2d_sink is None:
         means2d_sink = jnp.zeros((n, 2), jnp.float32)

@@ -30,6 +30,8 @@ class Intersections(NamedTuple):
     tile_ids: jax.Array  # (I_CAP,) int32 tile index (row-major); num_tiles for padding
     tile_offsets: jax.Array  # (num_tiles + 1,) int32 range of each tile in the sorted arrays
     num_isects: jax.Array  # () int32 true intersection count (pre-capacity-clamp)
+    counts: jax.Array  # (N,) int32 tiles overlapped per Gaussian (pre-clamp)
+    offsets: jax.Array  # (N,) int32 exclusive cumsum of counts (expansion order)
     num_tiles: int
     tiles_w: int
     tiles_h: int
@@ -105,6 +107,8 @@ def build_intersections(
         tile_ids=tile_sorted,
         tile_offsets=tile_offsets,
         num_isects=total.astype(jnp.int32),
+        counts=counts.astype(jnp.int32),
+        offsets=offsets.astype(jnp.int32),
         num_tiles=num_tiles,
         tiles_w=tiles_w,
         tiles_h=tiles_h,
@@ -131,6 +135,8 @@ class SegmentedIntersections(NamedTuple):
     seg_hi: jax.Array  # (S,) one-past-last slot of this tile within the chunk
     seg_chunk_first: jax.Array  # (S,) 1 if first segment touching its chunk
     num_isects: jax.Array
+    counts: jax.Array  # (N,) per-Gaussian intersection counts (pre-clamp)
+    offsets: jax.Array  # (N,) expansion-order exclusive cumsum of counts
     num_segments: jax.Array
     num_tiles: int
     tiles_w: int
@@ -173,11 +179,22 @@ def build_intersections_segments(
     in_use = s < num_segments
     has_data = counts[seg_tile] > 0
     live = in_use & has_data
-    chunk_idx = jnp.where(live, c0[seg_tile] + within, 0).astype(jnp.int32)
-    lo = jnp.maximum(starts[seg_tile], chunk_idx * chunk)
-    hi = jnp.minimum(ends[seg_tile], (chunk_idx + 1) * chunk)
+    raw_chunk = c0[seg_tile] + within
+    # Dead segments (empty tiles, tail padding) must NOT open a fresh output
+    # window in the backward kernel: Mosaic flushes output buffers on window
+    # change without tracking writes, so a never-written window would smear
+    # stale VMEM over that chunk's gradients on real TPU. Repeat the previous
+    # live segment's chunk instead (chunks are monotone non-decreasing across
+    # live segments, so the window either stays put or advances to a chunk the
+    # first-toucher flag will fully write). Leading dead segments fall back to
+    # chunk 0, which the first live segment always first-touches.
+    chunk_idx = jnp.maximum(
+        jax.lax.cummax(jnp.where(live, raw_chunk, -1), axis=0), 0
+    ).astype(jnp.int32)
+    lo = jnp.maximum(starts[seg_tile], raw_chunk * chunk)
+    hi = jnp.minimum(ends[seg_tile], (raw_chunk + 1) * chunk)
     # First toucher of a chunk = the tile containing the chunk's first slot.
-    chunk_first = live & (starts[seg_tile] <= chunk_idx * chunk)
+    chunk_first = live & (starts[seg_tile] <= raw_chunk * chunk)
 
     return SegmentedIntersections(
         gauss_ids=base.gauss_ids,
@@ -189,6 +206,8 @@ def build_intersections_segments(
         seg_hi=jnp.where(live, hi, 0).astype(jnp.int32),
         seg_chunk_first=chunk_first.astype(jnp.int32),
         num_isects=base.num_isects,
+        counts=base.counts,
+        offsets=base.offsets,
         num_segments=num_segments,
         num_tiles=num_tiles,
         tiles_w=base.tiles_w,

@@ -147,25 +147,50 @@ def generate_interflow_dataset(
     flow_dir: Optional[str] = None,
     out_dir: Optional[str] = None,
     split: str = "train",
+    dataparser: str = "synthetic",
 ) -> int:
     """Batch driver: compute interflow for every frame pair (i-interval, i)
-    of a synthetic dataset and write interflow_n{interval}/*.npy
-    (ref: epipolar_flow.py:324-420). Requires precomputed optical flow
-    (`opticalflow/*.npy`) or zero flow for static-camera captures."""
-    from ..data.dataparsers import parse_synthetic
+    and write interflow_n{interval}/*.npy (synthetic) or flow_n{interval}/
+    (real captures — the directory their parser reads from)
+    (ref: epipolar_flow.py:324-420; real-scene flow_n{k} at
+    freegaussian_dataparser.py:816). Requires precomputed optical flow
+    (`opticalflow/*.npy`) or zero flow for static-camera captures; real
+    captures need depth/{stem}.npy renders (preprocess/render_offline.py)."""
+    from ..data.dataparsers import parse_real, parse_synthetic
 
     data_dir = Path(data_dir)
-    parsed = parse_synthetic(
-        data_dir, split, interval=interval, load_flow=False, load_mask=False,
-        train_split_fraction=1.0,
-    )
-    out = data_dir / (out_dir or f"interflow_n{interval}")
+    if dataparser == "synthetic":
+        parsed = parse_synthetic(
+            data_dir, split, interval=interval, load_flow=False, load_mask=False,
+            train_split_fraction=1.0,
+        )
+        default_out = f"interflow_n{interval}"
+    elif dataparser == "real":
+        parsed = parse_real(
+            data_dir, split, interval=interval, load_flow=False, load_mask=False,
+            train_split_fraction=1.0,
+        )
+        default_out = f"flow_n{interval}"
+    else:
+        raise ValueError(f"interflow supports synthetic|real, got {dataparser}")
+    out = data_dir / (out_dir or default_out)
     out.mkdir(exist_ok=True, parents=True)
     flow_src = data_dir / (flow_dir or "opticalflow")
 
     count = 0
     for i in range(len(parsed)):
-        depth = np.load(parsed.depth_filenames[i]).astype(np.float32)
+        if parsed.depth_filenames is not None:
+            depth_path = Path(parsed.depth_filenames[i])
+        else:
+            depth_path = data_dir / "depth" / (
+                Path(parsed.image_filenames[i]).stem + ".npy"
+            )
+        if not depth_path.exists():
+            raise FileNotFoundError(
+                f"missing depth render {depth_path}; run the depth "
+                "preprocess (render_offline) first"
+            )
+        depth = np.load(depth_path).astype(np.float32)
         if depth.ndim == 2:
             depth = depth[..., None]
         stem = Path(parsed.image_filenames[i]).stem

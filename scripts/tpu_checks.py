@@ -1,0 +1,336 @@
+"""TPU-hardware checks: rasterizer gradient parity + round-2 perf microbench.
+
+Run ON THE REAL CHIP (not under the CPU-forced test conftest):
+
+    python scripts/tpu_checks.py [parity] [micro] [mlp] [step]
+
+Part `parity` is the hardware gradient-parity test ADVICE.md asked for: the
+dead-segment window bug (tiles.py v3 layout) only manifests through Mosaic's
+write-out-on-window-change behavior on real TPU — interpret mode read-modify-
+writes the backing array and cannot catch it. Scenes are built so the segment
+grid contains every dangerous shape: leading dead segments, empty tiles
+between live ones, multi-chunk tiles, and shared boundary chunks.
+
+Part `micro` times candidate per-Gaussian gradient-reduction designs (the
+round-1 bottleneck: the transpose(gather) scatter-add, docs/NOTES_ROUND1.md).
+
+Part `mlp` times the deform-MLP trunk in f32 vs bf16 activations.
+
+Part `step` reruns the bench.py train-step measurement in this same process.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# timing helper: on-device lax.scan loop, inputs perturbed by the carry so XLA
+# cannot hoist the body out of the loop.
+# ---------------------------------------------------------------------------
+
+
+def bench_fn(name, fn, float_args, int_args=(), iters=20):
+    def body(carry, _):
+        eps = carry * 1e-30
+        args = [a + eps for a in float_args] + list(int_args)
+        out = fn(*args)
+        leaves = jax.tree.leaves(out)
+        s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+        return carry + s * 1e-30, ()
+
+    @jax.jit
+    def run():
+        c, _ = jax.lax.scan(body, jnp.asarray(0.0), None, length=iters)
+        return c
+
+    r = run()
+    jax.block_until_ready(r)
+    t0 = time.time()
+    r = run()
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / iters
+    log(f"  {name:32s} {dt*1e3:8.3f} ms")
+    return dt
+
+
+# ---------------------------------------------------------------------------
+# parity
+# ---------------------------------------------------------------------------
+
+
+def clustered_scene(n=3000, width=256, height=256, seed=0, opac_scale=0.98):
+    """Gaussians in two clusters -> many empty tiles (dead segments) incl. the
+    top-left tile (leading dead segments before the first live one)."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), 6)
+    half = n // 2
+    c1 = jax.random.normal(keys[0], (half, 2)) * 14.0 + jnp.array([64.0, 150.0])
+    c2 = jax.random.normal(keys[1], (n - half, 2)) * 10.0 + jnp.array([200.0, 80.0])
+    means2d = jnp.concatenate([c1, c2], axis=0)
+    a = jax.random.uniform(keys[2], (n,), minval=0.05, maxval=0.6)
+    c = jax.random.uniform(keys[3], (n,), minval=0.05, maxval=0.6)
+    b = jax.random.uniform(keys[4], (n,), minval=-0.5, maxval=0.5) * jnp.sqrt(a * c)
+    conics = jnp.stack([a, b, c], axis=-1)
+    colors = jax.random.uniform(keys[5], (n, 3))
+    opacities = jax.random.uniform(keys[2], (n,)) * opac_scale
+    depths = jnp.linspace(1.0, 5.0, n)
+    radii = jnp.full((n,), 7, dtype=jnp.int32)
+    radii = radii.at[::13].set(0)  # some culled
+    return means2d, conics, colors, opacities, depths, radii
+
+
+def run_parity():
+    from freegaussian_tpu.ops.rasterize_pallas import rasterize_pixels_pallas
+    from freegaussian_tpu.ops.rasterize_ref import rasterize_pixels_reference
+
+    ok = True
+    for seed, n, wh, tag in [(0, 3000, (256, 256), "clustered"), (3, 900, (64, 64), "dense")]:
+        width, height = wh
+        args = clustered_scene(n=n, width=width, height=height, seed=seed)
+        if tag == "dense":
+            # everything in one corner: huge per-tile runs (multi-chunk) plus
+            # a fully dead remainder of the segment grid
+            m, c, col, op, dep, rad = args
+            m = jax.random.uniform(jax.random.PRNGKey(7), (n, 2)) * 40.0
+            args = (m, c, col, op * 0.999 / op.max(), dep, rad)
+        means2d, conics, colors, opacities, depths, radii = args
+        target = jax.random.uniform(jax.random.PRNGKey(9), (height, width, 3))
+
+        def pal(m, c, col, op, dep, rad, w, h):
+            # explicit capacity: the oracle never drops intersections
+            return rasterize_pixels_pallas(m, c, col, op, dep, rad, w, h, capacity=16 * n)
+
+        def loss(fn, m, c, col, op):
+            out = fn(m, c, col, op, depths, radii, width, height)
+            render, alpha = out[0], out[1]
+            return jnp.sum((render - target) ** 2) + 0.3 * jnp.sum(alpha**2)
+
+        t0 = time.time()
+        lp, gp = jax.jit(
+            jax.value_and_grad(
+                lambda m, c, col, op: loss(pal, m, c, col, op),
+                argnums=(0, 1, 2, 3),
+            )
+        )(means2d, conics, colors, opacities)
+        jax.block_until_ready(gp)
+        log(f"[parity:{tag}] pallas hw compile+run {time.time()-t0:.1f}s")
+        lr, gr = jax.jit(
+            jax.value_and_grad(
+                lambda m, c, col, op: loss(rasterize_pixels_reference, m, c, col, op),
+                argnums=(0, 1, 2, 3),
+            )
+        )(means2d, conics, colors, opacities)
+        jax.block_until_ready(gr)
+        log(
+            f"[parity:{tag}] loss pallas={float(lp):.6f} oracle={float(lr):.6f} "
+            f"rel={abs(float(lp)-float(lr))/max(abs(float(lr)),1e-9):.2e}"
+        )
+        # forward image comparison (localizes fwd-kernel issues)
+        r_p, a_p, _ = jax.jit(pal, static_argnums=(6, 7))(
+            means2d, conics, colors, opacities, depths, radii, width, height
+        )
+        r_r, a_r, _ = rasterize_pixels_reference(
+            means2d, conics, colors, opacities, depths, radii, width, height
+        )
+        dimg = np.abs(np.asarray(r_p) - np.asarray(r_r)).max(-1)
+        log(
+            f"[parity:{tag}] fwd image max|d|={dimg.max():.3e} "
+            f"px>1e-4: {(dimg > 1e-4).sum()}/{dimg.size} "
+            f"px>1e-2: {(dimg > 1e-2).sum()}"
+        )
+        names = ["means2d", "conics", "colors", "opacities"]
+        for name, a, b in zip(names, gp, gr):
+            a, b = np.asarray(a), np.asarray(b)
+            d = np.abs(a - b)
+            denom = np.maximum(np.abs(b), 1e-3)
+            rel = d / denom
+            bad = (d > 5e-4) & (rel > 5e-3)
+            good = not bad.any()
+            ok &= bool(good)
+            log(
+                f"[parity:{tag}] {name:10s} max|d|={d.max():.3e} "
+                f"maxrel={np.max(rel):.3e} bad={bad.sum()}/{bad.size} "
+                f"{'OK' if good else 'FAIL'}"
+            )
+    log(f"[parity] {'PASS' if ok else 'FAIL'}")
+    return ok
+
+
+# ---------------------------------------------------------------------------
+# micro: per-Gaussian gradient reduction designs
+# ---------------------------------------------------------------------------
+
+
+def run_micro():
+    N = 100_000
+    CAP = 1 << 19
+    D = 16
+    rng = np.random.default_rng(0)
+    # realistic intersection multiset: avg ~2.6 per gaussian, heavy tail
+    counts = np.minimum(rng.geometric(1.0 / 2.6, size=N), 64).astype(np.int32)
+    total = int(counts.sum())
+    log(f"[micro] N={N} capacity={CAP} D={D} real isects={total}")
+    exp_gids = np.repeat(np.arange(N, dtype=np.int32), counts)[:CAP]
+    perm_np = rng.permutation(total)[: min(total, CAP)]
+    gids = np.full(CAP, N, np.int32)
+    gids[: len(perm_np)] = exp_gids[perm_np]  # tile-sort-like random grouping
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    gids = jnp.asarray(gids)
+    offsets_j = jnp.asarray(np.minimum(offsets, CAP - 1))
+    counts_j = jnp.asarray(counts)
+    rows = jnp.asarray(rng.normal(size=(CAP, D)).astype(np.float32))
+    # expansion position of each (kept) sorted slot; dropped/padding -> CAP
+    exp_pos = np.full(CAP, CAP, np.int32)
+    exp_pos[: len(perm_np)] = perm_np
+    exp_pos = jnp.asarray(exp_pos)
+    iota = jnp.arange(CAP, dtype=jnp.int32)
+
+    def v_scatter_add(rows):
+        return jnp.zeros((N + 1, D), jnp.float32).at[gids].add(rows, mode="drop")
+
+    def v_segment_sum(rows):
+        return jax.ops.segment_sum(rows, gids, num_segments=N + 1)
+
+    def boundary_diff(cs):
+        ends = jnp.clip(offsets_j + counts_j - 1, 0, CAP - 1)
+        e = cs[ends]
+        s = jnp.where((offsets_j > 0)[:, None], cs[jnp.maximum(offsets_j - 1, 0)], 0.0)
+        return jnp.where((counts_j > 0)[:, None], e - s, 0.0)
+
+    def v_sort_gather_cumsum(rows):
+        _, order = jax.lax.sort((gids, iota), num_keys=1)
+        grouped = rows[order]
+        cs = jnp.cumsum(grouped, axis=0)
+        return boundary_diff(cs)
+
+    def v_setscatter_cumsum(rows):
+        d_exp = jnp.zeros((CAP + 1, D), jnp.float32).at[exp_pos].set(rows, mode="drop")
+        cs = jnp.cumsum(d_exp[:CAP], axis=0)
+        return boundary_diff(cs)
+
+    def v_intscatter_gather_cumsum(rows):
+        inv = jnp.full((CAP + 1,), CAP, jnp.int32).at[exp_pos].set(iota, mode="drop")[:CAP]
+        rows_p = jnp.concatenate([rows, jnp.zeros((1, D), jnp.float32)], axis=0)
+        grouped = rows_p[jnp.minimum(inv, CAP)]
+        cs = jnp.cumsum(grouped, axis=0)
+        return boundary_diff(cs)
+
+    def v_gather_only(rows):
+        return rows[jnp.asarray(exp_pos) % CAP]
+
+    def v_sort_only(rows):
+        k, o = jax.lax.sort((gids, iota), num_keys=1)
+        return o.astype(jnp.float32).sum() + rows[0, 0]
+
+    def v_cumsum_only(rows):
+        return jnp.cumsum(rows, axis=0)
+
+    def v_setscatter_only(rows):
+        return jnp.zeros((CAP + 1, D), jnp.float32).at[exp_pos].set(rows, mode="drop")
+
+    def v_scatter_add_bf16(rows):
+        r = rows.astype(jnp.bfloat16)
+        return jnp.zeros((N + 1, D), jnp.bfloat16).at[gids].add(r, mode="drop")
+
+    variants = [
+        ("scatter_add (status quo)", v_scatter_add),
+        ("segment_sum", v_segment_sum),
+        ("sort+gather+cumsum+diff", v_sort_gather_cumsum),
+        ("setscatter+cumsum+diff", v_setscatter_cumsum),
+        ("intscatter+gather+cumsum", v_intscatter_gather_cumsum),
+        ("gather rows only", v_gather_only),
+        ("sort only", v_sort_only),
+        ("cumsum only", v_cumsum_only),
+        ("setscatter rows only", v_setscatter_only),
+        ("scatter_add bf16", v_scatter_add_bf16),
+    ]
+    results = {}
+    for name, fn in variants:
+        try:
+            results[name] = bench_fn(name, fn, [rows])
+        except Exception as e:  # noqa: BLE001
+            log(f"  {name:32s} ERROR {type(e).__name__}: {e}")
+
+    # numerical agreement of the reduction designs
+    ref = np.asarray(v_scatter_add(rows))[:N]
+    for name, fn in [
+        ("sort+gather+cumsum+diff", v_sort_gather_cumsum),
+        ("setscatter+cumsum+diff", v_setscatter_cumsum),
+        ("intscatter+gather+cumsum", v_intscatter_gather_cumsum),
+    ]:
+        got = np.asarray(fn(rows))[:N]
+        err = np.max(np.abs(got - ref))
+        log(f"  agreement {name}: max|d|={err:.3e}")
+    return results
+
+
+# ---------------------------------------------------------------------------
+# mlp: deform trunk f32 vs bf16 activations
+# ---------------------------------------------------------------------------
+
+
+def run_mlp():
+    from freegaussian_tpu.models.fields import DeformField
+
+    N = 100_000
+    field = DeformField(is_blender=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (N, 3))
+    t = jnp.full((1, 1), 0.5)
+    vars32 = field.init(jax.random.PRNGKey(1), x, t)
+
+    def loss32(v, x):
+        d_xyz, rot, scale = field.apply(v, x, t)
+        return (
+            jnp.sum(d_xyz.w) + jnp.sum(d_xyz.v) + jnp.sum(d_xyz.theta)
+            + jnp.sum(rot) + jnp.sum(scale)
+        )
+
+    g32 = jax.grad(loss32)
+    bench_fn("deform f32 fwd", lambda x: loss32(vars32, x), [x])
+    bench_fn("deform f32 fwd+bwd", lambda x: jax.tree.leaves(g32(vars32, x))[0], [x])
+
+    vars16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), vars32)
+    x16 = x.astype(jnp.bfloat16)
+
+    def loss16(v, x):
+        d_xyz, rot, scale = field.apply(v, x.astype(jnp.bfloat16), t.astype(jnp.bfloat16))
+        return (
+            jnp.sum(d_xyz.w.astype(jnp.float32))
+            + jnp.sum(d_xyz.v.astype(jnp.float32))
+            + jnp.sum(d_xyz.theta.astype(jnp.float32))
+            + jnp.sum(rot.astype(jnp.float32))
+            + jnp.sum(scale.astype(jnp.float32))
+        )
+
+    g16 = jax.grad(loss16)
+    bench_fn("deform bf16 fwd", lambda x: loss16(vars16, x), [x])
+    bench_fn("deform bf16 fwd+bwd", lambda x: jax.tree.leaves(g16(vars16, x))[0], [x])
+
+
+def main():
+    parts = sys.argv[1:] or ["parity", "micro", "mlp", "step"]
+    log(f"devices: {jax.devices()}")
+    if "parity" in parts:
+        run_parity()
+    if "micro" in parts:
+        run_micro()
+    if "mlp" in parts:
+        run_mlp()
+    if "step" in parts:
+        sys.path.insert(0, ".")
+        import bench
+
+        bench.main()
+
+
+if __name__ == "__main__":
+    main()

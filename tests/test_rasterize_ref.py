@@ -261,3 +261,44 @@ def test_build_intersections_depth_order_within_tile():
     gids = np.asarray(isect.gauss_ids[:n])
     d = np.asarray(depths)[gids]
     assert np.all(np.diff(d) >= 0)
+
+
+def test_packed_mode_outputs():
+    """gsplat packed-mode contract (ref preprocess/knn_gaussian.py:93-113):
+    per-intersection gaussian_ids / means2d / depths in (tile, depth) order."""
+    key = jax.random.PRNGKey(0)
+    n = 50
+    means = jax.random.normal(key, (n, 3)) * 0.5 + jnp.array([0.0, 0.0, 3.0])
+    quats = jax.random.normal(jax.random.PRNGKey(1), (n, 4))
+    scales = jnp.full((n, 3), 0.1)
+    opacities = jnp.full((n,), 0.7)
+    sh = jax.random.normal(jax.random.PRNGKey(2), (n, 16, 3)) * 0.1
+    viewmat = jnp.eye(4)
+    K = jnp.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]])
+
+    render, alpha, info = rasterization(
+        means, quats, scales, opacities, sh, viewmat[None], K[None],
+        64, 48, sh_degree=3, render_mode="ED", backend="reference", packed=True,
+    )
+    ni = int(info.num_isects)
+    assert ni > 0
+    gids = np.asarray(info.gaussian_ids)
+    tids = np.asarray(info.tile_ids)
+    assert (gids[:ni] < n).all() and (gids[ni:] == n).all()
+    # tile-major ordering
+    assert (np.diff(tids[:ni]) >= 0).all()
+    # per-intersection arrays match the per-Gaussian projections
+    m2d = np.asarray(info.means2d)
+    d = np.asarray(info.depths)
+    np.testing.assert_allclose(np.asarray(info.isect_means2d)[:ni], m2d[gids[:ni]], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(info.isect_depths)[:ni], d[gids[:ni]], rtol=1e-6)
+    # within a tile, depth-ascending
+    for t in np.unique(tids[:ni]):
+        sel = d[gids[:ni]][tids[:ni] == t]
+        assert (np.diff(sel) >= -1e-6).all()
+    # intersection count agrees with the non-packed monitor
+    _, _, info2 = rasterization(
+        means, quats, scales, opacities, sh, viewmat[None], K[None],
+        64, 48, sh_degree=3, render_mode="ED", backend="reference",
+    )
+    assert ni == int(info2.num_isects)
