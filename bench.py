@@ -9,8 +9,11 @@ CoNeRF-scale scene, timed with an on-device lax.scan loop (one host round
 trip; the axon tunnel adds ~25 ms per host->device call otherwise).
 
 vs_baseline: ratio against the BASELINE.json north-star target of 2x an H100
-running gsplat on the same scene (~1.1e9 pixels/s fwd+bwd for this workload
-class), i.e. value / 2.2e9.
+running gsplat on this workload class. Calibration (single source of truth,
+matching the `baseline = 6e7` constant below): gsplat trains ~0.3 Mpixel
+scenes at a few hundred k Gaussians at ~100 steps/s on an H100-class GPU,
+i.e. ~3e7 train-step pixels/s; the north star is 2x that = 6e7 pixels/s per
+v5e chip.
 """
 
 import json

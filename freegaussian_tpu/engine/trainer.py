@@ -43,6 +43,9 @@ class TrainerConfig:
     eval_all_max_images: Optional[int] = None
     """cap on images per in-training eval_all sweep (None = whole split)"""
     steps_per_log: int = 10
+    vis: str = ""
+    """metric sinks: "" (jsonl only) or "tensorboard" (also event files,
+    mirroring the reference's `vis:` config key)"""
     capacity: int = 1 << 19
     num_random: int = 50000
     """random-init Gaussian count when the dataset has no seed points"""
@@ -152,6 +155,24 @@ class Trainer:
         self.out_dir = Path(config.output_dir) / config.experiment_name
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.metrics_log = self.out_dir / "metrics.jsonl"
+        self.tb_writer = None
+        if "tensorboard" in config.vis:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb_writer = SummaryWriter(str(self.out_dir / "tb"))
+            except Exception as e:  # noqa: BLE001
+                import warnings
+
+                warnings.warn(f"tensorboard writer unavailable: {e}")
+
+    def _log_metrics(self, row: Dict[str, float], step: int, prefix: str = "train") -> None:
+        with open(self.metrics_log, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        if self.tb_writer is not None:
+            for k, v in row.items():
+                if isinstance(v, (int, float)) and k not in ("step",):
+                    self.tb_writer.add_scalar(f"{prefix}/{k}", v, step)
 
     # ------------------------------------------------------------------
     def _isect_capacity(self) -> int:
@@ -259,8 +280,7 @@ class Trainer:
                     now - win_t, 1e-9
                 )
                 win_t, win_step = now, i + 1
-                with open(self.metrics_log, "a") as f:
-                    f.write(json.dumps(last_metrics) + "\n")
+                self._log_metrics(last_metrics, i)
             if (
                 cfg.steps_per_eval_all_images
                 and (i + 1) % cfg.steps_per_eval_all_images == 0
@@ -268,8 +288,7 @@ class Trainer:
                 ev = self.eval_all(max_images=cfg.eval_all_max_images)
                 ev["step"] = i + 1
                 ev["eval"] = "all"
-                with open(self.metrics_log, "a") as f:
-                    f.write(json.dumps(ev) + "\n")
+                self._log_metrics(ev, i + 1, "eval")
                 win_t = time.time()  # don't bill eval time to steps/s
                 win_step = i + 1
             elif (
@@ -277,8 +296,7 @@ class Trainer:
             ):
                 ev = self.eval_one(i + 1)
                 if ev is not None:
-                    with open(self.metrics_log, "a") as f:
-                        f.write(json.dumps(ev) + "\n")
+                    self._log_metrics(ev, i + 1, "eval_image")
                 win_t = time.time()
                 win_step = i + 1
             if cfg.steps_per_save and (i + 1) % cfg.steps_per_save == 0:

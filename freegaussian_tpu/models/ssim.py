@@ -30,12 +30,16 @@ def _depthwise_blur(img: jax.Array, win: jax.Array) -> jax.Array:
     win_h = jnp.broadcast_to(win.reshape(1, 1, k, 1), (c, 1, k, 1))
     win_w = jnp.broadcast_to(win.reshape(1, 1, 1, k), (c, 1, 1, k))
     dn = jax.lax.conv_dimension_numbers(img.shape, (c, 1, k, 1), ("NCHW", "OIHW", "NCHW"))
+    # HIGHEST precision: default-precision convs truncate f32 inputs to bf16
+    # on the TPU MXU; SSIM must match the reference's f32 torch convs.
     out = jax.lax.conv_general_dilated(
-        img, win_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+        img, win_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     dn2 = jax.lax.conv_dimension_numbers(out.shape, (c, 1, 1, k), ("NCHW", "OIHW", "NCHW"))
     return jax.lax.conv_general_dilated(
-        out, win_w, (1, 1), "VALID", dimension_numbers=dn2, feature_group_count=c
+        out, win_w, (1, 1), "VALID", dimension_numbers=dn2, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

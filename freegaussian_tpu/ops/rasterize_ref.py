@@ -115,7 +115,12 @@ def rasterize_pixels_reference(
         terminated = jax.lax.cummax((incl_T <= TRANSMITTANCE_EPS).astype(jnp.int32), axis=1) > 0
         w = jnp.where(vis & ~terminated, alpha_eff * excl_T, 0.0)  # (P, N)
 
-        render = w @ colors_s  # (P, C)
+        # HIGHEST precision: on TPU a default-precision matmul truncates the
+        # f32 inputs to bf16 on the MXU — this is the ORACLE, it must stay
+        # f32-accurate on every backend.
+        render = jnp.matmul(
+            w, colors_s, precision=jax.lax.Precision.HIGHEST
+        )  # (P, C)
         alpha_out = jnp.sum(w, axis=-1)  # (P,)
         return render, alpha_out
 

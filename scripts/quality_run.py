@@ -1,0 +1,267 @@
+"""Real-training quality evidence (round-2, VERDICT #10).
+
+No CoNeRF/LiveScene captures exist in this environment (zero egress), so this
+builds a NON-TRIVIAL articulated scene the repo's own oracle can render:
+two rigid Gaussian clusters, one rotating+translating over time, orbited by
+a camera ring — then trains the full stage-1 pipeline (densification, SH
+schedule, deform MLP, flow-derivative supervision from GT interflow) through
+the REAL Trainer, and records the PSNR trajectory.
+
+    python scripts/quality_run.py --out /tmp/qscene --steps 2000
+
+Writes the dataset to --out, trains, and appends results to
+docs/QUALITY_R2.md (PSNR trajectory + final eval metrics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def make_scene(root: Path, n_frames=40, size=128, n_gauss=600, seed=0):
+    import imageio.v2 as imageio
+    import jax
+    import jax.numpy as jnp
+
+    from freegaussian_tpu.data.cameras import Camera
+    from freegaussian_tpu.ops.rasterize import rasterization
+
+    rng = np.random.default_rng(seed)
+    root.mkdir(parents=True, exist_ok=True)
+    (root / "images").mkdir(exist_ok=True)
+    (root / "depth").mkdir(exist_ok=True)
+    (root / "interflow_n2").mkdir(exist_ok=True)
+    (root / "mask").mkdir(exist_ok=True)
+
+    # GT scene: static body + articulated part (rotating door-like cluster)
+    half = n_gauss // 2
+    body = rng.normal(scale=0.35, size=(half, 3)).astype(np.float32)
+    part = (rng.normal(scale=0.18, size=(n_gauss - half, 3)) + [0.7, 0.0, 0.0]).astype(
+        np.float32
+    )
+    colors_body = rng.uniform(0.1, 0.9, (half, 3)).astype(np.float32)
+    colors_part = rng.uniform(0.1, 0.9, (n_gauss - half, 3)).astype(np.float32)
+    scales = np.exp(rng.uniform(np.log(0.02), np.log(0.06), (n_gauss,))).astype(
+        np.float32
+    )
+    opac = rng.uniform(0.6, 0.95, (n_gauss,)).astype(np.float32)
+
+    def part_transform(t):
+        """articulation: rotate the part around the z axis through its hinge"""
+        ang = 0.9 * math.sin(2 * math.pi * t)
+        R = np.array(
+            [
+                [math.cos(ang), -math.sin(ang), 0],
+                [math.sin(ang), math.cos(ang), 0],
+                [0, 0, 1],
+            ],
+            np.float32,
+        )
+        hinge = np.array([0.45, 0.0, 0.0], np.float32)
+        return R, hinge
+
+    def gt_means(t):
+        R, hinge = part_transform(t)
+        moved = (part - hinge) @ R.T + hinge
+        return np.concatenate([body, moved], axis=0)
+
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n_gauss, 1))
+    colors = np.concatenate([colors_body, colors_part], axis=0)
+    sc3 = np.stack([scales] * 3, axis=-1)
+
+    frames = []
+    fl = 0.5 * size / math.tan(0.35)
+    for i in range(n_frames):
+        t = i / max(n_frames - 1, 1)
+        ang = 2 * math.pi * i / n_frames * 0.25 - math.pi / 8
+        eye = np.array(
+            [2.6 * math.sin(ang), 0.6, 2.6 * math.cos(ang)], np.float32
+        )
+        fwd = -eye / np.linalg.norm(eye)
+        right = np.cross(np.array([0, 1, 0], np.float32), -fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(-fwd, right)
+        # OpenGL c2w: x right, y up, z backward
+        c2w = np.stack([right, up, -fwd], axis=-1)
+        c2w = np.concatenate([c2w, eye[:, None]], axis=-1).astype(np.float32)
+
+        cam = Camera(
+            c2w=jnp.asarray(c2w),
+            fx=jnp.asarray(fl),
+            fy=jnp.asarray(fl),
+            cx=jnp.asarray(size / 2.0),
+            cy=jnp.asarray(size / 2.0),
+            time=jnp.asarray(t),
+            width=size,
+            height=size,
+        )
+        means_t = jnp.asarray(gt_means(t))
+        render, alpha, info = rasterization(
+            means_t, jnp.asarray(quats), jnp.asarray(sc3), jnp.asarray(opac),
+            jnp.asarray(colors), cam.viewmat[None], cam.K[None], size, size,
+            render_mode="RGB+ED", backend="reference",
+        )
+        rgb = np.clip(np.asarray(render[0, ..., :3]), 0, 1)
+        depth = np.asarray(render[0, ..., 3:4])
+        imageio.imwrite(
+            root / f"images/frame_{i:04d}.png", (rgb * 255).astype(np.uint8)
+        )
+        np.save(root / f"depth/frame_{i:04d}.npy", depth.astype(np.float32))
+
+        # GT interflow: rendered screen motion of the paired frame (i-2)
+        t0 = max(i - 2, 0) / max(n_frames - 1, 1)
+        means_0 = jnp.asarray(gt_means(t0))
+        from freegaussian_tpu.ops.projection import project_gaussians
+
+        p_t = project_gaussians(
+            means_t, jnp.asarray(quats), jnp.asarray(sc3), cam.viewmat, cam.K,
+            size, size,
+        )
+        p_0 = project_gaussians(
+            means_0, jnp.asarray(quats), jnp.asarray(sc3), cam.viewmat, cam.K,
+            size, size,
+        )
+        motion = p_t.means2d - p_0.means2d  # (N, 2) paired->current in screen px
+        r2, _, _ = rasterization(
+            means_t, jnp.asarray(quats), jnp.asarray(sc3), jnp.asarray(opac),
+            jnp.asarray(colors), cam.viewmat[None], cam.K[None], size, size,
+            render_mode="RGB", backend="reference", extra_channels=motion,
+        )
+        # interflow convention: current->paired object flow = -rendered motion
+        np.save(
+            root / f"interflow_n2/frame_{i:04d}.npy",
+            -np.asarray(r2[0, ..., 3:5]).astype(np.float32),
+        )
+        # articulation mask: pixels where the part dominates (for clustering)
+        part_col = np.zeros_like(colors)
+        part_col[half:] = 1.0
+        r3, _, _ = rasterization(
+            means_t, jnp.asarray(quats), jnp.asarray(sc3), jnp.asarray(opac),
+            jnp.asarray(part_col), cam.viewmat[None], cam.K[None], size, size,
+            render_mode="RGB", backend="reference",
+        )
+        part_mask = np.asarray(r3[0, ..., 0]) > 0.5
+        m = np.zeros((size, size, 2), bool)
+        m[..., 0] = part_mask
+        np.save(root / f"mask/{i:04d}.npy", m)
+
+        frames.append(
+            {"file_path": f"./images/frame_{i:04d}", "transform_matrix":
+             np.concatenate([c2w, [[0, 0, 0, 1]]], axis=0).tolist()}
+        )
+    meta = {"camera_angle_x": 2 * math.atan(0.5 * size / fl), "frames": frames}
+    (root / "transforms.json").write_text(json.dumps(meta))
+    # seed points: noisy GT positions at t=0 (SFM stand-in)
+    from freegaussian_tpu.data.ply import write_ply_points
+
+    pts = gt_means(0.0) + rng.normal(scale=0.02, size=(n_gauss, 3)).astype(np.float32)
+    write_ply_points(root / "points3d.ply", pts, (colors * 255).astype(np.uint8))
+    return root
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/qscene")
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--capacity", type=int, default=16384)
+    ap.add_argument("--report", default="docs/QUALITY_R2.md")
+    args = ap.parse_args()
+
+    root = Path(args.out)
+    if not (root / "transforms.json").exists():
+        print("generating scene...", flush=True)
+        make_scene(root, n_frames=args.frames, size=args.size)
+
+    import dataclasses as dc
+
+    from freegaussian_tpu.engine.config import trainer_config_from_yaml
+    from freegaussian_tpu.engine.trainer import Trainer
+
+    repo = Path(__file__).resolve().parent.parent
+    cfg = trainer_config_from_yaml(repo / "configs/sim/base.yaml")
+    cfg = dc.replace(
+        cfg,
+        data=str(root),
+        output_dir=str(root / "out"),
+        capacity=args.capacity,
+        num_random=2000,
+        max_num_iterations=args.steps,
+        steps_per_save=0,
+        steps_per_eval_image=0,
+        steps_per_eval_all_images=500,
+        eval_all_max_images=4,
+        splat=dc.replace(
+            cfg.splat,
+            warm_up=300,
+            num_downscales=1,
+            resolution_schedule=250,
+            sh_degree_interval=100,
+        ),
+        densify=dc.replace(cfg.densify, stop_split_at=max(args.steps - 200, 1)),
+        optimizers=dc.replace(cfg.optimizers, max_steps=args.steps),
+    )
+    print("building trainer...", flush=True)
+    t = Trainer(cfg)
+    t0 = time.time()
+    last = t.train(args.steps)
+    wall = time.time() - t0
+    print("train done:", last, f"({wall:.0f}s)", flush=True)
+    final = t.eval_all()
+    print("eval:", final, flush=True)
+
+    rows = [
+        json.loads(l)
+        for l in (Path(cfg.output_dir) / "freegaussian/metrics.jsonl")
+        .read_text()
+        .splitlines()
+    ]
+    train_rows = [r for r in rows if "eval" not in r]
+    eval_rows = [r for r in rows if r.get("eval") == "all"]
+    lines = [
+        "# Round-2 quality evidence: articulated-scene training run",
+        "",
+        f"Generated articulated scene ({args.frames} frames, {args.size}px, "
+        "static body + hinged rotating part), full stage-1 pipeline via "
+        "`configs/sim/base.yaml` (densification, SH/downscale schedules, "
+        "deform MLP, flow-derivative supervision from GT interflow), "
+        f"{args.steps} steps on {__import__('jax').devices()[0].platform}.",
+        "",
+        f"Wall time: {wall:.0f}s ({args.steps / wall:.1f} steps/s).",
+        "",
+        "| step | train psnr | flow_2d | flow_3d | gaussians |",
+        "|---|---|---|---|---|",
+    ]
+    for r in train_rows[:: max(len(train_rows) // 20, 1)]:
+        lines.append(
+            f"| {r.get('step')} | {r.get('psnr', float('nan')):.2f} | "
+            f"{r.get('flow_2d', float('nan')):.4f} | "
+            f"{r.get('flow_3d', float('nan')):.4f} | "
+            f"{int(r.get('gaussian_count', 0))} |"
+        )
+    lines += ["", "In-training eval sweeps (held-out timing):", ""]
+    for r in eval_rows:
+        lines.append(
+            f"- step {r['step']}: psnr={r['psnr']:.2f} ssim={r['ssim']:.4f} "
+            f"rays/s={r['num_rays_per_sec']:.0f}"
+        )
+    lines += [
+        "",
+        f"Final eval over the train split: psnr={final['psnr']:.2f} "
+        f"ssim={final['ssim']:.4f} gaussians={final['gaussian_count']}",
+        "",
+    ]
+    report = Path(args.report)
+    report.write_text("\n".join(lines))
+    print("wrote", report, flush=True)
+
+
+if __name__ == "__main__":
+    main()
