@@ -35,6 +35,9 @@ def main():
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={args.devices}"
     ).strip()
+    import sys
+
+    sys.path.insert(0, str(os.path.join(os.path.dirname(__file__), "..")))
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -490,15 +490,17 @@ def run_tri():
     radii = jnp.asarray(z["radii"])
 
     outs = {}
+    # NB: everything under jax.jit — unjitted op-by-op dispatch compiles each
+    # tiny binning op separately through the axon tunnel (~30 s apiece).
     for name, fn in [
-        ("compiled", lambda: rasterize_pixels_pallas(
+        ("compiled", jax.jit(lambda: rasterize_pixels_pallas(
             means2d, conics, colors, opacities, depths, radii, width, height,
-            capacity=16 * n, interpret=False)),
-        ("interp", lambda: rasterize_pixels_pallas(
+            capacity=16 * n, interpret=False))),
+        ("interp", jax.jit(lambda: rasterize_pixels_pallas(
             means2d, conics, colors, opacities, depths, radii, width, height,
-            capacity=16 * n, interpret=True)),
-        ("oracle", lambda: rasterize_pixels_reference(
-            means2d, conics, colors, opacities, depths, radii, width, height)),
+            capacity=16 * n, interpret=True))),
+        ("oracle", jax.jit(lambda: rasterize_pixels_reference(
+            means2d, conics, colors, opacities, depths, radii, width, height))),
     ]:
         t0 = time.time()
         r = fn()
