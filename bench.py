@@ -24,6 +24,8 @@ import numpy as np
 
 def main():
     import jax
+
+    jax.config.update("jax_default_matmul_precision", "float32")
     import jax.numpy as jnp
 
     from freegaussian_tpu.data.cameras import Camera
@@ -53,7 +55,10 @@ def main():
     # Trained-scene operating point: ~4 px screen radius (the kNN init on a
     # random cloud gives ~20 px blobs, an unrealistically dense overlap).
     params["scales"] = jnp.full_like(params["scales"], jnp.log(0.015))
-    cfg = SplatConfig(warm_up=0, background_color="black", isect_capacity_factor=4)
+    # capacity factor 3 mirrors the trainer's steady state (it sizes the
+    # intersection pipeline off live counts and grows at 85% occupancy); the
+    # bench scene holds ~260k intersections against the 300k cap.
+    cfg = SplatConfig(warm_up=0, background_color="black", isect_capacity_factor=3)
     from freegaussian_tpu.models.splat_model import make_deform_field
 
     deform = make_deform_field(cfg)

@@ -62,6 +62,11 @@ def downscale_phase(cfg: SplatConfig, step: int) -> int:
 
 class Trainer:
     def __init__(self, config: TrainerConfig, parsed: Optional[ParsedDataset] = None):
+        # On TPU, default-precision f32 matmuls (incl. reductions XLA
+        # pattern-matches into dots, e.g. MSE sums) truncate inputs to bf16;
+        # train/eval metrics must be f32-exact. Explicit bf16 paths (deform
+        # trunk) pass bf16 inputs and are unaffected by this default.
+        jax.config.update("jax_default_matmul_precision", "float32")
         self.config = config
         key = jax.random.PRNGKey(config.seed)
         k_init, k_deform, k_control, k_state = jax.random.split(key, 4)

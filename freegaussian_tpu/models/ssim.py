@@ -23,24 +23,26 @@ def _gaussian_window(size: int, sigma: float) -> np.ndarray:
     return g.astype(np.float32)
 
 
+def _blur_axis(img: jax.Array, win: jax.Array, axis: int) -> jax.Array:
+    """Valid 1-D correlation along `axis` as shifted multiply-adds.
+
+    An 11-tap stencil is cheaper AND exact-f32 on TPU this way: a
+    conv_general_dilated runs on the MXU, where default precision truncates
+    f32 inputs to bf16 and HIGHEST costs 6x passes (measured 4.7 ms fwd+bwd
+    for the SSIM stack at 640x480); eleven fused VPU fma passes cost a
+    fraction of that with full f32 accuracy."""
+    k = win.shape[0]
+    length = img.shape[axis] - k + 1
+    out = None
+    for i in range(k):
+        piece = jax.lax.slice_in_dim(img, i, i + length, axis=axis) * win[i]
+        out = piece if out is None else out + piece
+    return out
+
+
 def _depthwise_blur(img: jax.Array, win: jax.Array) -> jax.Array:
     """Separable gaussian filter. img: (B, C, H, W), valid padding."""
-    c = img.shape[1]
-    k = win.shape[0]
-    win_h = jnp.broadcast_to(win.reshape(1, 1, k, 1), (c, 1, k, 1))
-    win_w = jnp.broadcast_to(win.reshape(1, 1, 1, k), (c, 1, 1, k))
-    dn = jax.lax.conv_dimension_numbers(img.shape, (c, 1, k, 1), ("NCHW", "OIHW", "NCHW"))
-    # HIGHEST precision: default-precision convs truncate f32 inputs to bf16
-    # on the TPU MXU; SSIM must match the reference's f32 torch convs.
-    out = jax.lax.conv_general_dilated(
-        img, win_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    dn2 = jax.lax.conv_dimension_numbers(out.shape, (c, 1, 1, k), ("NCHW", "OIHW", "NCHW"))
-    return jax.lax.conv_general_dilated(
-        out, win_w, (1, 1), "VALID", dimension_numbers=dn2, feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    return _blur_axis(_blur_axis(img, win, 2), win, 3)
 
 
 def ssim_map(

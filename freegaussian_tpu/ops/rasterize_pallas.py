@@ -80,13 +80,17 @@ def _gather_rows_bwd(res, d_rows):
     # Zero rows of padding / dropped slots so overflow never leaks stale
     # values into the boundary differences below.
     grouped = jnp.where((gs < n)[:, None], grouped, 0.0)
+    # Exclusive prefix S: group sums are adjacent differences of S at the
+    # N+1 group boundaries — ONE (N+1)-row gather instead of two N-row
+    # gathers (row gathers cost ~12 ns each on TPU). Empty groups diff to 0
+    # automatically; overflow clamps to the kept range.
     cs = jnp.cumsum(grouped, axis=0)
-    ends = jnp.clip(offsets + counts - 1, 0, cap - 1)
-    e = cs[ends]
-    s = jnp.where(
-        (offsets > 0)[:, None], cs[jnp.clip(offsets - 1, 0, cap - 1)], 0.0
+    cs_ext = jnp.concatenate([jnp.zeros((1, d), cs.dtype), cs], axis=0)
+    bounds = jnp.clip(
+        jnp.concatenate([offsets, offsets[-1:] + counts[-1:]]), 0, cap
     )
-    g = jnp.where((counts > 0)[:, None], e - s, 0.0)  # (N, D)
+    vals = cs_ext[bounds]  # (N + 1, D)
+    g = vals[1:] - vals[:-1]
     g_full = jnp.concatenate([g, jnp.zeros((1, d), g.dtype)], axis=0)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     return g_full, f0(gids), f0(offsets), f0(counts)
@@ -107,6 +111,14 @@ class _Cfg:
     interpret: bool
 
 
+# Prefix-scan implementation inside the kernels: "mxu" = one triangular
+# matmul (HIGHEST precision) per scan; "roll" = log-step roll/select ladder
+# on the VPU (~21 passes for K=128). Which wins depends on the chunk size —
+# small matmuls pay MXU pipeline latency — so it is switchable for hardware
+# A/B runs (scripts/tpu_checks.py profile).
+SCAN_IMPL = "mxu"
+
+
 def _prefix_matrix(k: int) -> jax.Array:
     """(K, K) matrix M with M[i, j] = 1 for i <= j: x @ M = inclusive cumsum."""
     i = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
@@ -114,11 +126,32 @@ def _prefix_matrix(k: int) -> jax.Array:
     return (i <= j).astype(jnp.float32)
 
 
+def _cumsum_lanes_roll(x: jax.Array) -> jax.Array:
+    p, k = x.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, k), 1)
+    shift = 1
+    while shift < k:
+        rolled = pltpu.roll(x, shift, axis=1)
+        x = x + jnp.where(lane >= shift, rolled, 0.0)
+        shift *= 2
+    return x
+
+
+def _cumprod_lanes_roll(x: jax.Array) -> jax.Array:
+    p, k = x.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, k), 1)
+    shift = 1
+    while shift < k:
+        rolled = pltpu.roll(x, shift, axis=1)
+        x = x * jnp.where(lane >= shift, rolled, 1.0)
+        shift *= 2
+    return x
+
+
 def _cumsum_lanes(x: jax.Array) -> jax.Array:
-    """Inclusive prefix sum along axis 1 as ONE MXU matmul against a
-    triangular ones matrix — replaces the log-step roll/select ladder (~21
-    VPU passes for K=128), moving half the kernels' VPU budget onto the
-    otherwise-idle MXU. HIGHEST precision keeps f32 accuracy."""
+    """Inclusive prefix sum along axis 1."""
+    if SCAN_IMPL == "roll":
+        return _cumsum_lanes_roll(x)
     k = x.shape[1]
     return jax.lax.dot_general(
         x,
@@ -130,9 +163,11 @@ def _cumsum_lanes(x: jax.Array) -> jax.Array:
 
 
 def _cumprod_lanes(x: jax.Array) -> jax.Array:
-    """Inclusive prefix product along axis 1 via exp(cumsum(log x)) on the
-    MXU. Inputs are transmittance factors in [1 - MAX_ALPHA, 1], so the log
-    stays finite (the same identity the kernels already use for T_new)."""
+    """Inclusive prefix product along axis 1. MXU path: exp(cumsum(log x));
+    inputs are transmittance factors in [1 - MAX_ALPHA, 1], so the log stays
+    finite (the same identity the kernels already use for T_new)."""
+    if SCAN_IMPL == "roll":
+        return _cumprod_lanes_roll(x)
     return jnp.exp(_cumsum_lanes(jnp.log(x)))
 
 

@@ -201,7 +201,9 @@ def main():
         splat=dc.replace(
             cfg.splat,
             warm_up=300,
-            num_downscales=1,
+            # full-res only: each (image size x sh degree) phase is a separate
+            # jit, and compiles run minutes each through the axon tunnel
+            num_downscales=0,
             resolution_schedule=250,
             sh_degree_interval=100,
         ),

@@ -13,9 +13,13 @@ if [ ${#SCENES[@]} -eq 0 ]; then
 fi
 for scene in "${SCENES[@]}"; do
   echo "=== cluster + stage-2: $scene ==="
+  KF_ARGS=()
+  if grep -q "^$scene:" configs/key_frames.yaml 2>/dev/null; then
+    KF_ARGS=(--key-frames configs/key_frames.yaml --scene "$scene")
+  fi
   python -m freegaussian_tpu.cli cluster \
     --config "configs/$FAMILY/base.yaml" --data "$DATA_ROOT/$scene" \
-    --load "$CKPT_ROOT/$scene/checkpoints"
+    --load "$CKPT_ROOT/$scene/checkpoints" "${KF_ARGS[@]}"
   python -m freegaussian_tpu.cli train-control \
     --config "configs/control/$FAMILY/base.yaml" --data "$DATA_ROOT/$scene" \
     --stage1-checkpoint "$CKPT_ROOT/$scene/checkpoints"

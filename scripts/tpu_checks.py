@@ -443,16 +443,24 @@ def run_profile():
     bench_fn("raster fwd (binning+gather+kernel)", raster_fwd,
              [proj.means2d, proj.conics, colors, opac])
 
-    def raster_loss(m2d, con, col, op):
-        r, a, _ = rasterize_pixels_pallas(
-            m2d, con, col, op, proj.depths, proj.radii, width, height,
-            capacity=capacity,
-        )
-        return jnp.sum((r - target) ** 2) + 0.3 * jnp.sum(a**2)
+    import freegaussian_tpu.ops.rasterize_pallas as rp
 
-    g_raster = jax.grad(raster_loss, argnums=(0, 1, 2, 3))
-    bench_fn("raster fwd+bwd", lambda *a: g_raster(*a),
-             [proj.means2d, proj.conics, colors, opac])
+    for scan in ("mxu", "roll"):
+        for ck in (128, 256):
+            rp.SCAN_IMPL = scan
+
+            def raster_loss(m2d, con, col, op, _ck=ck):
+                r, a, _ = rasterize_pixels_pallas(
+                    m2d, con, col, op, proj.depths, proj.radii, width, height,
+                    capacity=capacity, chunk=_ck,
+                )
+                return jnp.sum((r - target) ** 2) + 0.3 * jnp.sum(a**2)
+
+            g_raster = jax.grad(raster_loss, argnums=(0, 1, 2, 3))
+            bench_fn(f"raster fwd+bwd scan={scan} chunk={ck}",
+                     lambda *a: g_raster(*a),
+                     [proj.means2d, proj.conics, colors, opac])
+    rp.SCAN_IMPL = "mxu"
 
     cfg = SplatConfig()
     field = make_deform_field(cfg)
@@ -537,6 +545,10 @@ def run_tri():
 
 def main():
     parts = sys.argv[1:] or ["parity", "micro", "mlp", "step"]
+    # f32 matmul default: XLA dot-ifies reductions like sum(x*y) / sum(x^2)
+    # and would run them at MXU bf16 input precision otherwise (this skewed
+    # the parity loss prints by 0.7% before being pinned).
+    jax.config.update("jax_default_matmul_precision", "float32")
     log(f"devices: {jax.devices()}")
     if "xinterp" in parts:
         run_xinterp()
