@@ -58,6 +58,8 @@ def main(argv=None):
     common(sp)
     sp = sub.add_parser("eval", help="evaluate PSNR/SSIM over the eval split")
     common(sp)
+    sp.add_argument("--dump-images", default="", help="write gt|pred PNGs here")
+    sp.add_argument("--report", default="", help="also write the JSON report to this path")
     sp = sub.add_parser("render", help="render RGB + depth over cameras")
     common(sp)
     sp.add_argument("--out", default="renders")
@@ -88,7 +90,13 @@ def main(argv=None):
         print(json.dumps(metrics))
     elif args.cmd == "eval":
         trainer = _build_trainer(args)
-        print(json.dumps(trainer.eval_all()))
+        result = trainer.eval_all(
+            dump_dir=Path(args.dump_images) if args.dump_images else None
+        )
+        if args.report:
+            Path(args.report).parent.mkdir(parents=True, exist_ok=True)
+            Path(args.report).write_text(json.dumps(result, indent=2))
+        print(json.dumps(result))
     elif args.cmd == "render":
         trainer = _build_trainer(args)
         from .preprocess.render_offline import render_color_images, render_depth_maps

@@ -339,13 +339,20 @@ class Trainer:
         }
 
     # ------------------------------------------------------------------
-    def eval_all(self, max_images: Optional[int] = None) -> Dict[str, float]:
+    def eval_all(
+        self,
+        max_images: Optional[int] = None,
+        dump_dir: Optional[Path] = None,
+    ) -> Dict[str, float]:
         """PSNR/SSIM + rays-per-sec over the eval split (ref eval loop,
-        freegaussian_pipeline.py:103-172)."""
+        freegaussian_pipeline.py:103-172). `dump_dir` writes gt|pred side-by-
+        side PNGs per image (ref :144-147)."""
         dm = self.eval_datamanager or self.datamanager
         cfg = self.config
         psnrs, ssims, lpipss = [], [], []
         from ..models.metrics import lpips as lpips_fn
+        if dump_dir is not None:
+            Path(dump_dir).mkdir(parents=True, exist_ok=True)
         t0 = time.time()
         n_pix = 0
         count = 0
@@ -367,6 +374,16 @@ class Trainer:
             lp = lpips_fn(np.asarray(out["rgb"]), np.asarray(gt))
             if lp is not None:
                 lpipss.append(lp)
+            if dump_dir is not None:
+                import imageio.v2 as imageio
+
+                pair = np.concatenate(
+                    [np.asarray(gt), np.asarray(out["rgb"])], axis=1
+                )
+                imageio.imwrite(
+                    Path(dump_dir) / f"eval_{count:04d}.png",
+                    (np.clip(pair, 0, 1) * 255).astype(np.uint8),
+                )
             n_pix += camera.width * camera.height
             count += 1
             if max_images and count >= max_images:

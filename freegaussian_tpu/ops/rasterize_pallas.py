@@ -335,14 +335,13 @@ def _bwd_segment_body(
     w = a_eff * excl_T * comp
 
     # b_k = (c_k . g_color) + g_alpha per (pixel, gaussian)
-    b = (
-        jax.lax.dot_general(
-            g_color, v["cols"], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        + g_alpha
-    )
+    # b[p, k] = sum_c g_color[c, p] * cols[c, k] + g_alpha[p]: the contraction
+    # dim is only C (3-6 channels), so C broadcast-fmas on the VPU are exact
+    # f32 AND cheaper than a 3/128-utilized skinny MXU matmul at HIGHEST.
+    C_dim = g_color.shape[0]
+    b = g_alpha
+    for ci in range(C_dim):
+        b = b + g_color[ci : ci + 1, :].T * v["cols"][ci : ci + 1, :]
     wb = w * b
     s_incl = _cumsum_lanes(wb)
     r_after = r_total - (s_cum + s_incl)

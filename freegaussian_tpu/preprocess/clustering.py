@@ -11,7 +11,10 @@ TPU-native equivalent of preprocess/knn_gaussian.py:26-184:
 
 The reference's packed rasterization + gaussian_ids is replaced by the
 per-Gaussian projection (radii > 0 as the visibility set), which is the same
-information without the intersection-sparse layout.
+information without the intersection-sparse layout (each Gaussian's center
+pixel votes once either way). Tools that do need the intersection-sparse
+contract can use `ops.rasterize.rasterization(packed=True)`, which exposes
+the reference's gaussian_ids / per-intersection means2d / depths.
 """
 
 from __future__ import annotations

@@ -433,6 +433,39 @@ def run_profile():
 
     bench_fn("binning", binning, [proj.means2d])
 
+    # binning sub-phases on matched shapes
+    N = n_gauss
+    rng2 = np.random.default_rng(1)
+    tile_id = jnp.asarray(rng2.integers(0, 1200, capacity).astype(np.int32))
+    depth_key = jnp.asarray(rng2.uniform(1, 5, capacity).astype(np.float32))
+    gid = jnp.asarray(rng2.integers(0, N, capacity).astype(np.int32))
+    first_slot = jnp.asarray(
+        np.sort(rng2.choice(capacity, N, replace=False)).astype(np.int32)
+    )
+    g_iota = jnp.arange(N, dtype=jnp.int32)
+    per_g5 = jnp.asarray(rng2.normal(size=(N, 5)).astype(np.float32))
+
+    bench_fn(
+        "  bin: 2-key sort (3 operands)",
+        lambda d: jax.lax.sort((tile_id, d, gid), num_keys=2)[2].astype(jnp.float32).sum(),
+        [depth_key],
+    )
+    bench_fn(
+        "  bin: mark scatter + cummax",
+        lambda d: jnp.clip(
+            jax.lax.cummax(
+                jnp.full((capacity,), -1, jnp.int32).at[first_slot].max(g_iota, mode="drop"),
+                axis=0,
+            ), 0, N - 1
+        ).astype(jnp.float32).sum() + d[0],
+        [depth_key],
+    )
+    bench_fn(
+        "  bin: per_g row gather (cap x 5)",
+        lambda d: (per_g5[jnp.clip(gid, 0, N - 1)].sum() + d[0]),
+        [depth_key],
+    )
+
     def raster_fwd(m2d, con, col, op):
         r, a, _ = rasterize_pixels_pallas(
             m2d, con, col, op, proj.depths, proj.radii, width, height,
@@ -443,24 +476,18 @@ def run_profile():
     bench_fn("raster fwd (binning+gather+kernel)", raster_fwd,
              [proj.means2d, proj.conics, colors, opac])
 
-    import freegaussian_tpu.ops.rasterize_pallas as rp
+    # settled by A/B on hw: scan=mxu, chunk=128 (roll@128 25.3 ms,
+    # mxu@256 26.0, roll@256 26.3 vs mxu@128 22.5)
+    def raster_loss(m2d, con, col, op):
+        r, a, _ = rasterize_pixels_pallas(
+            m2d, con, col, op, proj.depths, proj.radii, width, height,
+            capacity=capacity,
+        )
+        return jnp.sum((r - target) ** 2) + 0.3 * jnp.sum(a**2)
 
-    for scan in ("mxu", "roll"):
-        for ck in (128, 256):
-            rp.SCAN_IMPL = scan
-
-            def raster_loss(m2d, con, col, op, _ck=ck):
-                r, a, _ = rasterize_pixels_pallas(
-                    m2d, con, col, op, proj.depths, proj.radii, width, height,
-                    capacity=capacity, chunk=_ck,
-                )
-                return jnp.sum((r - target) ** 2) + 0.3 * jnp.sum(a**2)
-
-            g_raster = jax.grad(raster_loss, argnums=(0, 1, 2, 3))
-            bench_fn(f"raster fwd+bwd scan={scan} chunk={ck}",
-                     lambda *a: g_raster(*a),
-                     [proj.means2d, proj.conics, colors, opac])
-    rp.SCAN_IMPL = "mxu"
+    g_raster = jax.grad(raster_loss, argnums=(0, 1, 2, 3))
+    bench_fn("raster fwd+bwd", lambda *a: g_raster(*a),
+             [proj.means2d, proj.conics, colors, opac])
 
     cfg = SplatConfig()
     field = make_deform_field(cfg)
@@ -472,6 +499,17 @@ def run_profile():
         return jnp.sum(d_xyz.w) + jnp.sum(d_xyz.v) + jnp.sum(rot) + jnp.sum(sc)
 
     bench_fn("deform bf16 fwd+bwd", lambda x: jax.grad(deform_loss)(x), [means])
+
+    def deform_loss_remat(x):
+        apply = jax.checkpoint(lambda xx: field.apply(dvars, xx, t))
+        d_xyz, rot, sc = apply(x)
+        return jnp.sum(d_xyz.w) + jnp.sum(d_xyz.v) + jnp.sum(rot) + jnp.sum(sc)
+
+    bench_fn(
+        "deform bf16 remat fwd+bwd",
+        lambda x: jax.grad(deform_loss_remat)(x),
+        [means],
+    )
 
     img = jax.random.uniform(jax.random.PRNGKey(4), (height, width, 3))
 
