@@ -60,9 +60,17 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--dump-images", default="", help="write gt|pred PNGs here")
     sp.add_argument("--report", default="", help="also write the JSON report to this path")
+    sp.add_argument("--stage1-checkpoint", default="",
+                    help="evaluate the stage-2 CONTROL model (with --gaussian-mask)")
+    sp.add_argument("--gaussian-mask", default="")
     sp = sub.add_parser("render", help="render RGB + depth over cameras")
     common(sp)
     sp.add_argument("--out", default="renders")
+    sp.add_argument("--path", choices=["dataset", "orbit"], default="dataset",
+                    help="dataset cameras or a generated orbit camera path")
+    sp.add_argument("--num-frames", type=int, default=60)
+    sp.add_argument("--orbit-radius", type=float, default=0.0,
+                    help="0 = use the mean camera distance")
     sp = sub.add_parser("interflow", help="generate epipolar interflow npys")
     sp.add_argument("--data", required=True)
     sp.add_argument("--interval", type=int, default=2)
@@ -89,7 +97,27 @@ def main(argv=None):
         trainer.save(int(trainer.state.step))
         print(json.dumps(metrics))
     elif args.cmd == "eval":
-        trainer = _build_trainer(args)
+        if args.stage1_checkpoint:
+            from .engine.config import trainer_config_from_yaml
+            from .engine.control_trainer import ControlTrainer
+            from .engine.trainer import TrainerConfig
+
+            cfg = (
+                trainer_config_from_yaml(args.config, args.scene_config)
+                if args.config
+                else TrainerConfig()
+            )
+            if args.data:
+                cfg = dataclasses.replace(cfg, data=args.data)
+            trainer = ControlTrainer(
+                cfg,
+                load_deformable_checkpoint=Path(args.stage1_checkpoint),
+                gaussian_mask_path=Path(args.gaussian_mask) if args.gaussian_mask else None,
+            )
+            if args.load:
+                trainer.load(Path(args.load))
+        else:
+            trainer = _build_trainer(args)
         result = trainer.eval_all(
             dump_dir=Path(args.dump_images) if args.dump_images else None
         )
@@ -101,7 +129,16 @@ def main(argv=None):
         trainer = _build_trainer(args)
         from .preprocess.render_offline import render_color_images, render_depth_maps
 
-        cams = [f.camera for f in trainer.datamanager.frames]
+        if args.path == "orbit":
+            from .data.cameras import orbit_camera_path
+
+            cams = orbit_camera_path(
+                [f.camera for f in trainer.datamanager.frames],
+                num_frames=args.num_frames,
+                radius=args.orbit_radius or None,
+            )
+        else:
+            cams = [f.camera for f in trainer.datamanager.frames]
         out = Path(args.out)
         render_color_images(
             trainer.config.splat, trainer.state.params, trainer.state.alive,

@@ -73,3 +73,37 @@ class Camera:
     @property
     def position(self) -> jax.Array:
         return self.c2w[..., :3, 3]
+
+
+def orbit_camera_path(cameras, num_frames: int = 60, radius=None, height=None):
+    """Generate an orbit camera path around the scene (the `ns-render
+    camera-path` analogue): a circle at the mean camera height/distance,
+    looking at the origin, with time sweeping 0 -> 1 across the orbit."""
+    import numpy as np
+
+    ref = cameras[0]
+    pos = np.stack([np.asarray(c.position) for c in cameras])
+    if radius is None:
+        radius = float(np.linalg.norm(pos[:, [0, 2]], axis=1).mean())
+    if height is None:
+        height = float(pos[:, 1].mean())
+    out = []
+    for i in range(num_frames):
+        ang = 2 * np.pi * i / num_frames
+        eye = np.array(
+            [radius * np.sin(ang), height, radius * np.cos(ang)], np.float32
+        )
+        fwd = -eye / max(np.linalg.norm(eye), 1e-8)
+        right = np.cross(np.array([0, 1, 0], np.float32), -fwd)
+        right = right / max(np.linalg.norm(right), 1e-8)
+        up = np.cross(-fwd, right)
+        c2w = np.concatenate(
+            [np.stack([right, up, -fwd], axis=-1), eye[:, None]], axis=-1
+        ).astype(np.float32)
+        out.append(
+            ref.replace(
+                c2w=jnp.asarray(c2w),
+                time=jnp.asarray(i / max(num_frames - 1, 1), jnp.float32),
+            )
+        )
+    return out

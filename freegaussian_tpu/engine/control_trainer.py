@@ -85,6 +85,53 @@ class ControlTrainer(Trainer):
                 self.save(i + 1)
         return last
 
+    def eval_all(self, max_images=None, dump_dir=None) -> Dict[str, float]:
+        """Stage-2 eval renders through the CONTROL model with the train-mode
+        control state (deform displacement between init and frame time) —
+        the stage-1 eval path would ignore the control field entirely.
+        (ref: control model get_outputs train branch, freegaussian_control_model.py:128-140)
+        """
+        import time as _time
+
+        from ..models.splat_model import psnr as _psnr
+        from ..models.ssim import ssim as _ssim
+
+        dm = self.eval_datamanager or self.datamanager
+        psnrs, ssims = [], []
+        t0 = _time.time()
+        n_pix = 0
+        count = 0
+        for camera, batch in dm.eval_frames():
+            out = control_forward(
+                self.config.splat,
+                self.state.params,
+                self.state.alive,
+                self.gaussian_mask,
+                camera,
+                self.control.apply,
+                self.state.control_vars,
+                deform_apply=self.deform.apply,
+                deform_vars=self.state.deform_vars,
+                init_time=self.init_time,
+                sh_degree_now=self.config.splat.sh_degree,
+                train=False,
+            )
+            gt = batch["image"][..., :3]
+            psnrs.append(float(_psnr(out["rgb"], gt)))
+            ssims.append(float(_ssim(out["rgb"], gt)))
+            n_pix += camera.width * camera.height
+            count += 1
+            if max_images and count >= max_images:
+                break
+        wall = _time.time() - t0
+        return {
+            "psnr": float(np.mean(psnrs)),
+            "ssim": float(np.mean(ssims)),
+            "num_rays_per_sec": n_pix / wall,
+            "fps": count / wall,
+            "gaussian_count": int(jnp.sum(self.state.alive)),
+        }
+
     def render_with_control(self, camera, atrb_values) -> Dict[str, jax.Array]:
         """Inference: drive the articulated object with injected attribute
          3-vectors (the GUI slider path)."""

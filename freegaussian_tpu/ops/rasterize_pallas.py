@@ -230,7 +230,12 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
         alpha_ref[0] = jnp.zeros_like(alpha_ref[0])
         state[...] = jnp.ones((P, 2), jnp.float32)
 
-    @pl.when((flags >> 1) & 1 == 1)
+    # Segment-level early out: once every pixel of the tile has terminated,
+    # the remaining (possibly deep) tail of its sorted run contributes
+    # nothing — skip the whole alpha/compositing body, not just mask lanes.
+    any_alive = jnp.max(state[:, 1]) > 0.0
+
+    @pl.when(((flags >> 1) & 1 == 1) & any_alive)
     def _():
         px, py = _pixel_coords(cfg, tile_ref[s])
         v = _alphas(cfg, data_ref[...], px, py)
@@ -298,12 +303,22 @@ def _bwd_kernel(
         )
         state[...] = init
 
-    @pl.when((flags >> 1) & 1 == 1)
+    # Segment-level early out (mirrors the forward): all pixels terminated ->
+    # every gradient this segment would write is zero. A skipped segment that
+    # first-touches its chunk must still WRITE the zeros (Mosaic flushes the
+    # output window regardless of writes).
+    any_alive = jnp.max(state[:, 1]) > 0.0
+
+    @pl.when(((flags >> 1) & 1 == 1) & any_alive)
     def _():
         _bwd_segment_body(
             cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_ref,
             gcolor_ref, galpha_ref, rtotal_ref, dout_ref, state, s,
         )
+
+    @pl.when(((flags >> 1) & 1 == 1) & jnp.logical_not(any_alive) & ((flags >> 2) & 1 == 1))
+    def _():
+        dout_ref[...] = jnp.zeros(dout_ref.shape, dout_ref.dtype)
 
 
 def _bwd_segment_body(

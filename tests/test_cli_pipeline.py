@@ -87,6 +87,15 @@ def test_cli_two_stage_pipeline(tmp_path, cfg_yaml, capsys):
     ev = json.loads(out)
     assert np.isfinite(ev["psnr"]) and ev["num_rays_per_sec"] > 0
 
+    # stage-2 eval through the CONTROL model
+    main([
+        "eval", "--data", str(tmp_path / "data"), "--config", str(cfg_yaml),
+        "--stage1-checkpoint", str(ckpt), "--gaussian-mask", str(masks[0]),
+    ])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    ev2 = json.loads(out)
+    assert np.isfinite(ev2["psnr"])
+
 
 def test_cli_interflow(tmp_path, capsys):
     from freegaussian_tpu.cli import main

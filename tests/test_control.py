@@ -117,3 +117,47 @@ def test_control_forward_and_training():
         losses.append(float(m["loss"]))
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_control_trainer_eval_uses_control_model(tmp_path):
+    """Stage-2 eval_all must route through control_forward (the inherited
+    stage-1 eval would silently ignore the control field)."""
+    import importlib.util
+    import dataclasses as dc
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location("td", "tests/test_data.py")
+    td = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(td)
+    td.make_synthetic_dataset(tmp_path / "data", n=6, h=32, w=32)
+
+    from freegaussian_tpu.engine.trainer import Trainer, TrainerConfig
+    from freegaussian_tpu.engine.control_trainer import ControlTrainer
+    from freegaussian_tpu.models.splat_model import SplatConfig
+    from freegaussian_tpu.models.densify import DensifyConfig
+
+    cfg = TrainerConfig(
+        data=str(tmp_path / "data"), dataparser="synthetic",
+        output_dir=str(tmp_path / "out"), capacity=128, num_random=50,
+        steps_per_save=0, steps_per_eval_image=0, steps_per_eval_all_images=0,
+        splat=SplatConfig(warm_up=0, backend="reference",
+                          background_color="black", num_downscales=0),
+        densify=DensifyConfig(refine_start=10**9),
+        dataparser_kwargs={"interval": 2},
+    )
+    t1 = Trainer(cfg)
+    t1.train(2)
+    ckpt = t1.save(2)
+    n_live = int(np.asarray(t1.state.alive).sum())
+    mask = np.zeros((n_live, 2), bool)
+    mask[: n_live // 2, 0] = True
+    np.save(tmp_path / "data" / f"gaussian_mask_{n_live}x2.npy", mask)
+
+    ct = ControlTrainer(
+        cfg, load_deformable_checkpoint=ckpt,
+        gaussian_mask_path=tmp_path / "data" / f"gaussian_mask_{n_live}x2.npy",
+    )
+    ct.train(2)
+    ev = ct.eval_all(max_images=2)
+    assert np.isfinite(ev["psnr"]) and ev["num_rays_per_sec"] > 0
