@@ -118,6 +118,14 @@ class _Cfg:
 # A/B runs (scripts/tpu_checks.py profile).
 SCAN_IMPL = "mxu"
 
+# Segment-level early-out when every pixel of a tile has terminated. Saves
+# the whole kernel body on deep sorted runs (real scenes after densification),
+# and is numerically exact (CPU parity tests cover it) — but wrapping the
+# kernel body in the data-dependent predicate blew Mosaic's remote compile
+# from ~10 min to >45 min on the axon toolchain, so it ships OFF until the
+# compile cost is fixed. Flip to True to A/B on hardware.
+EARLY_OUT = False
+
 
 def _prefix_matrix(k: int) -> jax.Array:
     """(K, K) matrix M with M[i, j] = 1 for i <= j: x @ M = inclusive cumsum."""
@@ -233,7 +241,7 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
     # Segment-level early out: once every pixel of the tile has terminated,
     # the remaining (possibly deep) tail of its sorted run contributes
     # nothing — skip the whole alpha/compositing body, not just mask lanes.
-    any_alive = jnp.max(state[:, 1]) > 0.0
+    any_alive = (jnp.max(state[:, 1]) > 0.0) if EARLY_OUT else True
 
     @pl.when(((flags >> 1) & 1 == 1) & any_alive)
     def _():
@@ -307,7 +315,7 @@ def _bwd_kernel(
     # every gradient this segment would write is zero. A skipped segment that
     # first-touches its chunk must still WRITE the zeros (Mosaic flushes the
     # output window regardless of writes).
-    any_alive = jnp.max(state[:, 1]) > 0.0
+    any_alive = (jnp.max(state[:, 1]) > 0.0) if EARLY_OUT else True
 
     @pl.when(((flags >> 1) & 1 == 1) & any_alive)
     def _():
@@ -316,9 +324,15 @@ def _bwd_kernel(
             gcolor_ref, galpha_ref, rtotal_ref, dout_ref, state, s,
         )
 
-    @pl.when(((flags >> 1) & 1 == 1) & jnp.logical_not(any_alive) & ((flags >> 2) & 1 == 1))
-    def _():
-        dout_ref[...] = jnp.zeros(dout_ref.shape, dout_ref.dtype)
+    if EARLY_OUT:
+
+        @pl.when(
+            ((flags >> 1) & 1 == 1)
+            & jnp.logical_not(any_alive)
+            & ((flags >> 2) & 1 == 1)
+        )
+        def _():
+            dout_ref[...] = jnp.zeros(dout_ref.shape, dout_ref.dtype)
 
 
 def _bwd_segment_body(

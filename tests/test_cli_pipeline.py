@@ -238,3 +238,26 @@ dataparser:
         t_none.state.deform_vars,
     )
     assert max(jax.tree.leaves(diffs)) > 0, "flow losses had no training effect"
+
+
+def test_cli_render_orbit_and_eval_dumps(tmp_path, cfg_yaml, capsys, monkeypatch):
+    from freegaussian_tpu.cli import main
+
+    _make_dataset(tmp_path / "data")
+    monkeypatch.chdir(tmp_path)
+    main(["train", "--data", str(tmp_path / "data"), "--config", str(cfg_yaml),
+          "--max-iterations", "2"])
+    capsys.readouterr()
+    ckpt = Path("outputs/freegaussian/checkpoints")
+
+    main(["render", "--data", str(tmp_path / "data"), "--config", str(cfg_yaml),
+          "--load", str(ckpt), "--out", str(tmp_path / "orbit"),
+          "--path", "orbit", "--num-frames", "4"])
+    rgb = sorted((tmp_path / "orbit" / "rgb").glob("*.png"))
+    assert len(rgb) == 4
+
+    main(["eval", "--data", str(tmp_path / "data"), "--config", str(cfg_yaml),
+          "--load", str(ckpt), "--dump-images", str(tmp_path / "dumps"),
+          "--report", str(tmp_path / "report.json")])
+    assert sorted((tmp_path / "dumps").glob("eval_*.png"))
+    assert json.loads((tmp_path / "report.json").read_text())["psnr"] is not None
