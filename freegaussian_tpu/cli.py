@@ -82,6 +82,11 @@ def main(argv=None):
     sp.add_argument("--stage1-checkpoint", required=True)
     sp.add_argument("--gaussian-mask", default="")
 
+    sp = sub.add_parser("export", help="export a checkpoint (INRIA ply / reference torch ckpt)")
+    common(sp)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--format", choices=["ply", "torch"], default="ply")
+
     sp = sub.add_parser("cluster", help="vote articulation masks onto Gaussians")
     common(sp)
     sp.add_argument("--key-frames", default="", help="key_frames.yaml path")
@@ -160,6 +165,25 @@ def main(argv=None):
             dataparser=args.dataparser,
         )
         print(f"wrote {n} interflow maps")
+    elif args.cmd == "export":
+        trainer = _build_trainer(args)
+        out = Path(args.out)
+        if args.format == "ply":
+            from .data.splat_export import export_splat_ply
+
+            n = export_splat_ply(out, trainer.state.params, trainer.state.alive)
+            print(f"wrote {n} gaussians to {out}")
+        else:
+            from .models.torch_compat import export_reference_checkpoint
+
+            export_reference_checkpoint(
+                out, trainer.state.params, trainer.state.alive,
+                deform_vars=trainer.state.deform_vars,
+                control_vars=trainer.state.control_vars,
+                step=int(trainer.state.step),
+                is_blender=trainer.config.splat.is_blender,
+            )
+            print(f"wrote reference checkpoint to {out}")
     elif args.cmd == "train-control":
         import dataclasses as dc
 

@@ -128,3 +128,82 @@ def load_reference_checkpoint(
     if load_control and any(k.startswith("control.") for k in model_state):
         result["control_vars"] = control_vars_from_torch(model_state)
     return result
+
+
+# -----------------------------------------------------------------------------
+# Export: our TrainState -> reference-format torch checkpoint (the reverse of
+# load_reference_checkpoint), so TPU-trained models drop back into the
+# nerfstudio/gsplat ecosystem (ns-eval, ns-render, the reference's preprocess
+# tools). Inverse of the name maps above; flax kernels (in, out) -> torch
+# Linear weights (out, in).
+# -----------------------------------------------------------------------------
+
+
+def _linear_to_torch(out: Dict[str, Any], flax_layer, name: str) -> None:
+    import torch
+
+    out[f"{name}.weight"] = torch.from_numpy(
+        np.asarray(flax_layer["kernel"]).T.copy()
+    )
+    out[f"{name}.bias"] = torch.from_numpy(np.asarray(flax_layer["bias"]).copy())
+
+
+def deform_vars_to_torch(variables, *, is_blender: bool = True) -> Dict[str, Any]:
+    layers = variables["params"]
+    out: Dict[str, Any] = {}
+    i = 0
+    if is_blender:
+        _linear_to_torch(out, layers[f"TorchLinear_{i}"], "deform.timenet.0"); i += 1
+        _linear_to_torch(out, layers[f"TorchLinear_{i}"], "deform.timenet.2"); i += 1
+    for d in range(8):
+        _linear_to_torch(out, layers[f"TorchLinear_{i}"], f"deform.linear.{d}"); i += 1
+    _linear_to_torch(out, layers[f"TorchLinear_{i}"], "deform.branch_w"); i += 1
+    _linear_to_torch(out, layers[f"TorchLinear_{i}"], "deform.branch_v"); i += 1
+    _linear_to_torch(out, layers[f"TorchLinear_{i}"], "deform.gaussian_rotation"); i += 1
+    _linear_to_torch(out, layers[f"TorchLinear_{i}"], "deform.gaussian_scaling"); i += 1
+    return out
+
+
+def control_vars_to_torch(variables) -> Dict[str, Any]:
+    layers = variables["params"]
+    out: Dict[str, Any] = {}
+    i = 0
+    for d in range(8):
+        _linear_to_torch(out, layers[f"TorchLinear_{i}"], f"control.linear.{d}"); i += 1
+    _linear_to_torch(out, layers[f"TorchLinear_{i}"], "control.d_xyz"); i += 1
+    _linear_to_torch(out, layers[f"TorchLinear_{i}"], "control.d_rot"); i += 1
+    _linear_to_torch(out, layers[f"TorchLinear_{i}"], "control.d_scale"); i += 1
+    return out
+
+
+def export_reference_checkpoint(
+    path: Path,
+    params: Dict[str, Any],
+    alive,
+    *,
+    deform_vars=None,
+    control_vars=None,
+    step: int = 0,
+    is_blender: bool = True,
+) -> Path:
+    """Write a nerfstudio-style `{"pipeline": state_dict, "step": N}` torch
+    checkpoint holding only the LIVE Gaussians (the reference resizes to the
+    checkpoint's N on load, freegaussian_model.py:278-291)."""
+    import torch
+
+    alive_np = np.asarray(alive)
+    state: Dict[str, Any] = {}
+    for name in ("means", "scales", "quats", "features_dc", "features_rest", "opacities"):
+        state[f"_model.gauss_params.{name}"] = torch.from_numpy(
+            np.asarray(params[name])[alive_np].copy()
+        )
+    if deform_vars is not None:
+        for k, v in deform_vars_to_torch(deform_vars, is_blender=is_blender).items():
+            state[f"_model.{k}"] = v
+    if control_vars is not None:
+        for k, v in control_vars_to_torch(control_vars).items():
+            state[f"_model.{k}"] = v
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    torch.save({"pipeline": state, "step": int(step)}, path)
+    return path

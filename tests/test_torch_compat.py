@@ -192,3 +192,49 @@ def test_ddp_prefix_stripping(tmp_path):
     out = _strip_prefixes(state)
     assert "gauss_params.means" in out
     assert "deform.branch_w.weight" in out
+
+
+def test_export_roundtrip():
+    """export_reference_checkpoint -> load_reference_checkpoint recovers the
+    same live Gaussians and field weights."""
+    import tempfile
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from freegaussian_tpu.models.fields import ControlField, DeformField
+    from freegaussian_tpu.models.gaussians import init_gaussians
+    from freegaussian_tpu.models.torch_compat import (
+        export_reference_checkpoint,
+        load_reference_checkpoint,
+    )
+
+    params, alive = init_gaussians(jax.random.PRNGKey(0), 64, num_random=40)
+    deform = DeformField(is_blender=True)
+    dvars = deform.init(jax.random.PRNGKey(1), jnp.zeros((1, 3)), jnp.zeros((1, 1)))
+    control = ControlField()
+    cvars = control.init(jax.random.PRNGKey(2), jnp.zeros((1, 3)), jnp.zeros((1, 3)))
+
+    with tempfile.TemporaryDirectory() as td:
+        p = Path(td) / "step-000000007.ckpt"
+        export_reference_checkpoint(
+            p, params, alive, deform_vars=dvars, control_vars=cvars, step=7
+        )
+        back = load_reference_checkpoint(p, capacity=64)
+        assert back["step"] == 7
+        n = int(np.asarray(alive).sum())
+        np.testing.assert_allclose(
+            np.asarray(back["params"]["means"])[:n],
+            np.asarray(params["means"])[np.asarray(alive)],
+            rtol=1e-6,
+        )
+        a = jax.tree.leaves(back["deform_vars"])
+        b = jax.tree.leaves(dvars)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
+        c = jax.tree.leaves(back["control_vars"])
+        d = jax.tree.leaves(cvars)
+        for x, y in zip(c, d):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
