@@ -59,9 +59,10 @@ def main():
     # intersection pipeline off live counts and grows at 85% occupancy); the
     # bench scene holds ~260k intersections against the 300k cap.
     cfg = SplatConfig(warm_up=0, background_color="black", isect_capacity_factor=3)
-    from freegaussian_tpu.models.splat_model import make_deform_field
+    from freegaussian_tpu.models.splat_model import make_deform_apply, make_deform_field
 
     deform = make_deform_field(cfg)
+    deform_apply = make_deform_apply(cfg, deform)
     dvars = deform.init(jax.random.PRNGKey(1), jnp.zeros((1, 3)), jnp.zeros((1, 1)))
 
     c2w = np.eye(4, dtype=np.float32)
@@ -88,7 +89,7 @@ def main():
         def compute_loss(p, dv):
             out = forward(
                 cfg, p, alive, camera.replace(time=t),
-                deform_variables=dv, deform_apply=deform.apply,
+                deform_variables=dv, deform_apply=deform_apply,
                 sh_degree_now=3, warmed_up=jnp.asarray(True),
                 train=True, bg_rng=None,
             )

@@ -57,8 +57,8 @@ class ControlTrainer(Trainer):
         self.control_step_fn = make_control_train_step(
             config.splat,
             self.optimizers,
-            self.control.apply,
-            self.deform.apply,
+            self.control_apply,
+            self.deform_apply,
             self.gaussian_mask,
             self.init_time,
         )
@@ -108,9 +108,9 @@ class ControlTrainer(Trainer):
                 self.state.alive,
                 self.gaussian_mask,
                 camera,
-                self.control.apply,
+                self.control_apply,
                 self.state.control_vars,
-                deform_apply=self.deform.apply,
+                deform_apply=self.deform_apply,
                 deform_vars=self.state.deform_vars,
                 init_time=self.init_time,
                 sh_degree_now=self.config.splat.sh_degree,
@@ -141,7 +141,7 @@ class ControlTrainer(Trainer):
             self.state.alive,
             self.gaussian_mask,
             camera,
-            self.control.apply,
+            self.control_apply,
             self.state.control_vars,
             atrb_values=jnp.asarray(atrb_values),
             sh_degree_now=self.config.splat.sh_degree,

@@ -95,11 +95,15 @@ class Trainer:
             num_random=min(config.num_random, config.capacity // 2),
             sh_degree=config.splat.sh_degree,
         )
-        from ..models.splat_model import make_deform_field
+        from ..models.splat_model import make_deform_apply, make_deform_field
 
         self.deform = make_deform_field(config.splat)
+        self.deform_apply = make_deform_apply(config.splat, self.deform)
         deform_vars = self.deform.init(k_deform, jnp.zeros((1, 3)), jnp.zeros((1, 1)))
         self.control = ControlField()
+        from ..models.splat_model import make_control_apply
+
+        self.control_apply = make_control_apply(config.splat, self.control)
         control_vars = self.control.init(
             k_control, jnp.zeros((1, 3)), jnp.zeros((1, 3))
         )
@@ -154,7 +158,7 @@ class Trainer:
             config.splat,
             config.densify,
             self.optimizers,
-            self.deform.apply,
+            self.deform_apply,
             num_train_data=len(self.datamanager),
         )
         self.out_dir = Path(config.output_dir) / config.experiment_name
@@ -213,7 +217,7 @@ class Trainer:
                 splat,
                 self.config.densify,
                 self.optimizers,
-                self.deform.apply,
+                self.deform_apply,
                 num_train_data=len(self.datamanager),
             )
 
@@ -324,7 +328,7 @@ class Trainer:
             self.state.alive,
             camera,
             deform_variables=self.state.deform_vars,
-            deform_apply=self.deform.apply,
+            deform_apply=self.deform_apply,
             sh_degree_now=cfg.splat.sh_degree,
             warmed_up=self.state.step >= cfg.splat.warm_up,
             train=False,
@@ -363,7 +367,7 @@ class Trainer:
                 self.state.alive,
                 camera,
                 deform_variables=self.state.deform_vars,
-                deform_apply=self.deform.apply,
+                deform_apply=self.deform_apply,
                 sh_degree_now=cfg.splat.sh_degree,
                 warmed_up=self.state.step >= cfg.splat.warm_up,
                 train=False,

@@ -171,6 +171,81 @@ class ControlField(nn.Module):
         return d_xyz, d_rot, d_scale
 
 
+def deform_apply_fused(field: DeformField, variables, x, t, *, interpret=None, block=None):
+    """`field.apply(variables, x, t)` with the trunk routed through the fused
+    Pallas MLP kernel (ops/mlp_pallas.py). Same parameter tree, same outputs;
+    the trunk computes in the bf16-matmul/f32-accumulate class instead of the
+    flax bf16 chain (slightly MORE accurate — f32 accumulators). The timenet
+    and the f32 heads (including the reference's `/theta + 1e-5` precedence
+    quirk, freegaussian_model.py:1109-1111) replicate DeformField.__call__
+    exactly; tests/test_mlp_pallas.py pins the two paths together."""
+    from ..ops.mlp_pallas import fused_trunk
+
+    p = variables["params"]
+    ct = field.compute_dtype
+    t_multires = 6 if field.is_blender else 10
+    t_emb = positional_embed(t, t_multires)
+    idx = 0
+    if field.is_blender:
+        k0, k1 = p["TorchLinear_0"], p["TorchLinear_1"]
+        t_emb = nn.relu(
+            jnp.dot(
+                t_emb.astype(ct), k0["kernel"].astype(ct), preferred_element_type=ct
+            )
+            + k0["bias"].astype(ct)
+        )
+        t_emb = (
+            jnp.dot(
+                t_emb.astype(ct), k1["kernel"].astype(ct), preferred_element_type=ct
+            )
+            + k1["bias"].astype(ct)
+        )
+        idx = 2
+    x_emb = positional_embed(x, field.multires)
+    ws = tuple(p[f"TorchLinear_{idx + i}"]["kernel"] for i in range(field.depth))
+    bs = tuple(p[f"TorchLinear_{idx + i}"]["bias"] for i in range(field.depth))
+    h = fused_trunk(
+        x_emb, t_emb.astype(jnp.float32), ws, bs, interpret=interpret, block=block
+    )
+
+    hp = idx + field.depth
+    heads = [p[f"TorchLinear_{hp + j}"] for j in range(4)]
+
+    def head(j):
+        return h @ heads[j]["kernel"] + heads[j]["bias"]
+
+    w = head(0)
+    v = head(1)
+    theta = safe_norm(w, axis=-1, keepdims=True)
+    # Reference quirk kept verbatim: the 1e-5 is added after the division.
+    w = w / theta + 1e-5
+    v = v / theta + 1e-5
+    d_xyz = SE3Screw(w=w, v=v, theta=theta)
+    rotation = head(2)
+    scaling = head(3)
+    return d_xyz, rotation, scaling
+
+
+def control_apply_fused(field: ControlField, variables, x, value, *, interpret=None, block=None):
+    """`ControlField.apply` with the trunk on the fused Pallas MLP kernel.
+    The stage-2 control trunk is architecturally identical to the deform
+    trunk (value_emb replaces t_emb, per-point); heads stay f32 outside."""
+    from ..ops.mlp_pallas import fused_trunk
+
+    p = variables["params"]
+    value_emb = positional_embed(value, field.multires)
+    x_emb = positional_embed(x, field.multires)
+    ws = tuple(p[f"TorchLinear_{i}"]["kernel"] for i in range(field.depth))
+    bs = tuple(p[f"TorchLinear_{i}"]["bias"] for i in range(field.depth))
+    h = fused_trunk(x_emb, value_emb, ws, bs, interpret=interpret, block=block)
+    heads = [p[f"TorchLinear_{field.depth + j}"] for j in range(3)]
+
+    def head(j):
+        return h @ heads[j]["kernel"] + heads[j]["bias"]
+
+    return head(0), head(1), head(2)
+
+
 def apply_se3_deform(means: jax.Array, d_xyz) -> jax.Array:
     """means' = dehomog(d_xyz @ homog(means)). (ref: freegaussian_model.py:843)
 

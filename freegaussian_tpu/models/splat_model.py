@@ -55,6 +55,12 @@ class SplatConfig:
     # rematerialize the deform trunk in backward: the (N, 256) activations are
     # HBM-bound; recomputing beats storing (6.9 -> 5.8 ms at N=100k on v5e)
     deform_remat: bool = True
+    # run the trunk as ONE fused Pallas kernel (ops/mlp_pallas.py): weights
+    # VMEM-resident, per-block remat backward, f32 weight-grad accumulation.
+    # Auto-disabled off-TPU (the interpret-mode kernel is for unit tests).
+    # Default OFF: measured 8.1 vs 5.0 ms against the XLA chain on v5e
+    # (docs/NOTES_ROUND2.md) — flip on only if the kernel wins on your chip.
+    deform_fused: bool = False
     near_plane: float = 0.01
     far_plane: float = 1e10
     tile_size: int = 16
@@ -88,6 +94,44 @@ def make_deform_field(cfg: SplatConfig) -> DeformField:
 
 def make_control_field(cfg: SplatConfig) -> ControlField:
     return ControlField()
+
+
+def make_deform_apply(cfg: SplatConfig, field: DeformField):
+    """The deform callable the trainers should pass into `forward`: the flax
+    apply, or (on TPU, when cfg.deform_fused) the fused-Pallas-trunk variant.
+    The returned closure carries `.fused` so `forward` can skip the outer
+    jax.checkpoint (the fused backward already rematerializes per-block in
+    VMEM; an outer remat would just run the forward kernel twice)."""
+    import jax as _jax
+
+    from .fields import deform_apply_fused
+
+    on_tpu = _jax.devices()[0].platform == "tpu"
+    if cfg.deform_fused and cfg.deform_bf16 and on_tpu:
+
+        def apply(variables, x, t):
+            return deform_apply_fused(field, variables, x, t)
+
+        apply.fused = True
+        return apply
+    return field.apply
+
+
+def make_control_apply(cfg: SplatConfig, field: ControlField):
+    """Same policy for the stage-2 control field."""
+    import jax as _jax
+
+    from .fields import control_apply_fused
+
+    on_tpu = _jax.devices()[0].platform == "tpu"
+    if cfg.deform_fused and on_tpu:
+
+        def apply(variables, x, value):
+            return control_apply_fused(field, variables, x, value)
+
+        apply.fused = True
+        return apply
+    return field.apply
 
 
 def downscale_factor(cfg: SplatConfig, step: jax.Array | int, train: bool) -> int:
@@ -189,7 +233,11 @@ def forward(
     # `warmed_up` so the jitted step handles both phases without recompiles.
     scales_lin = jnp.exp(scales_log)
     quats_n = quats / safe_norm(quats, axis=-1, keepdims=True)
-    if deform_apply is not None and cfg.deform_remat:
+    if (
+        deform_apply is not None
+        and cfg.deform_remat
+        and not getattr(deform_apply, "fused", False)
+    ):
         deform_apply = jax.checkpoint(deform_apply)
     if deform_apply is not None and deform_variables is not None:
         times = camera.time.reshape(1, 1)  # shared frame time: broadcast inside

@@ -1,0 +1,319 @@
+"""Fused Pallas TPU kernel for the 8x256 field-MLP trunk.
+
+The deform/control trunks (models/fields.py, mirroring the reference
+freegaussian_model.py:1054-1145) are a chain of eight (N, 256) x (256, 256)
+matmuls with a skip concat after layer 4. Left to XLA, the chain runs ~4x off
+MXU peak on v5e: every layer round-trips its (N, 256) activation through HBM,
+and the cast / bias / relu epilogues fragment into separate fusions
+(measured 4.5 ms fwd, 7.0 ms fwd+bwd at N=100k in bf16 —
+docs/NOTES_ROUND2.md).
+
+This kernel runs the whole trunk out of VMEM: the grid walks row-blocks of B
+points; all eight weight matrices (~0.5 M params, bf16) stay VMEM-resident
+across the grid, each block does 8 back-to-back MXU matmuls with in-register
+relu, and only the block input (B, IN) and final activation (B, 256, bf16)
+touch HBM. The custom-VJP backward recomputes the per-block activations in
+VMEM (in-kernel rematerialization — cheaper than storing eight (N, 256)
+arrays) and accumulates the weight gradients in f32 directly in the output
+windows, which Mosaic keeps resident because their block index never changes
+(flushed to HBM once, at grid end).
+
+Numerics: matmuls take bf16 inputs with f32 accumulation
+(preferred_element_type=f32), bias add + relu in f32, activations stored
+bf16 — the same precision class as the flax bf16 path (TorchLinear with
+compute_dtype=bf16), not bit-identical to it (the flax path rounds each
+split-linear partial product and the accumulator to bf16; this kernel keeps
+f32 accumulation, i.e. is slightly MORE accurate). Weight gradients
+accumulate in f32.
+
+Layout contract (fixed by models/fields.py):
+
+    h = [x_emb, t_emb]                      # IN = E1 + E2 channels
+    for i in range(8):
+        h = relu(h @ W[i] + b[i])
+        if i == 4:
+            h = [x_emb, t_emb, h]           # skip: layer 5 sees IN + 256
+
+The wrapper pads the concatenated input to IN_PAD = 128 lanes and the skip
+weight's input rows to 128 + 256 = 384; padding rows/cols are zero so the
+padded matmul equals the unpadded one.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+H = 256  # trunk width (reference architecture)
+DEPTH = 8
+SKIP_AT = 4  # skip concat happens after this layer's relu
+IN_PAD = 128  # padded input channels (E1 + E2 <= 128 for both fields)
+BLOCK = 512  # default rows per grid step (override via fused_trunk(block=...))
+# grid-dim semantics for the forward kernel ("parallel" legal: disjoint output
+# blocks, const weights). The backward needs "arbitrary" (weight-grad
+# accumulators persist across steps). Knob for hardware A/B.
+FWD_SEMANTICS = "arbitrary"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _mm(a, b):
+    """a (M, K) x b (K, N) -> f32, bf16 MXU inputs.
+
+    precision is pinned to DEFAULT explicitly: entry points set
+    jax_default_matmul_precision="float32" globally, and Mosaic rejects a
+    bf16-input matmul carrying the fp32 contract-precision attribute
+    ("Bad lhs type" — fp32 precision means the 3-pass f32 split, which
+    needs f32 inputs). bf16 in + f32 accumulate is exactly what we want."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+        ((((1,), (0,))), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _mm_tn(a, b):
+    """a (K, M) x b (K, N) -> (M, N): contract dim 0 of both (wgrad shape)."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+        ((((0,), (0,))), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _mm_nt(a, b):
+    """a (M, K) x b (N, K) -> (M, N): contract dim 1 of both (dgrad shape)."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+        ((((1,), (1,))), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _forward_acts(x, w, b, keep=True):
+    """Forward through the trunk. With keep=True returns the post-relu bf16
+    activation of every layer (backward remat); with keep=False only the
+    final activation (forward kernel — avoids 8 live (B, 256) buffers).
+    x: (B, IN_PAD) f32; w/b: weight & bias values (already read)."""
+    acts = []
+    h = None
+    for i in range(DEPTH):
+        if i == 0:
+            z = _mm(x, w[0])
+        elif i == SKIP_AT + 1:
+            z = _mm(x, w[i][0:IN_PAD]) + _mm(h, w[i][IN_PAD : IN_PAD + H])
+        else:
+            z = _mm(h, w[i])
+        h = jax.nn.relu(z + b[i]).astype(jnp.bfloat16)
+        if keep:
+            acts.append(h)
+    return acts if keep else [h]
+
+
+# -----------------------------------------------------------------------------
+# forward kernel
+# -----------------------------------------------------------------------------
+
+
+def _fwd_kernel(inp_ref, *refs):
+    w = [refs[i][...] for i in range(DEPTH)]  # bf16 weights
+    b = [refs[DEPTH + i][...] for i in range(DEPTH)]  # f32 (1, H) biases
+    out_ref = refs[2 * DEPTH]
+    out_ref[...] = _forward_acts(inp_ref[...], w, b, keep=False)[-1]
+
+
+# -----------------------------------------------------------------------------
+# backward kernel
+# -----------------------------------------------------------------------------
+
+
+def _bwd_kernel(inp_ref, dh_ref, *refs):
+    w = [refs[i][...] for i in range(DEPTH)]  # bf16 weights
+    b = [refs[DEPTH + i][...] for i in range(DEPTH)]  # f32 (1, H) biases
+    dinp_ref = refs[2 * DEPTH]
+    dw_refs = refs[2 * DEPTH + 1 : 3 * DEPTH + 1]  # f32 accumulators
+    db_refs = refs[3 * DEPTH + 1 : 4 * DEPTH + 1]  # f32 (1, H) accumulators
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        for r in (*dw_refs, *db_refs):
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    x = inp_ref[...]  # (B, IN_PAD) f32
+    acts = _forward_acts(x, w, b)  # in-kernel rematerialization
+
+    g = dh_ref[...]  # (B, H) f32: cotangent of the final activation
+    g_skip = None  # skip-path contribution to d inp
+    for i in range(DEPTH - 1, -1, -1):
+        # relu mask in f32 — Mosaic has no bf16 compare on v5e
+        g = g * (acts[i].astype(jnp.float32) > 0)  # dL/dz_i, f32
+        db_refs[i][...] += jnp.sum(g, axis=0, keepdims=True)
+        if i == 0:
+            dw_refs[0][...] += _mm_tn(x, g)
+            dinp_ref[...] = _mm_nt(g, w[0]) + g_skip
+        elif i == SKIP_AT + 1:
+            dw_refs[i][0:IN_PAD] += _mm_tn(x, g)
+            dw_refs[i][IN_PAD : IN_PAD + H] += _mm_tn(acts[i - 1], g)
+            g_skip = _mm_nt(g, w[i][0:IN_PAD])
+            g = _mm_nt(g, w[i][IN_PAD : IN_PAD + H])
+        else:
+            dw_refs[i][...] += _mm_tn(acts[i - 1], g)
+            g = _mm_nt(g, w[i])
+
+
+# -----------------------------------------------------------------------------
+# custom VJP wrapper (operates on pre-padded shapes; padding in fused_trunk)
+# -----------------------------------------------------------------------------
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda s: tuple(0 for _ in shape))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_trunk(interpret: bool, block: int, inp, ws, bs):
+    return _fused_trunk_fwd(interpret, block, inp, ws, bs)[0]
+
+
+def _pallas_fwd(interpret, block, inp, ws_bf16, bs2d):
+    n = inp.shape[0]
+    in_specs = [pl.BlockSpec((block, IN_PAD), lambda s: (s, 0))]
+    in_specs += [_const_spec(w.shape) for w in ws_bf16]
+    in_specs += [_const_spec(b.shape) for b in bs2d]
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(n // block,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block, H), lambda s: (s, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, H), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(FWD_SEMANTICS,)
+        ),
+        interpret=interpret,
+    )(inp, *ws_bf16, *bs2d)
+
+
+def _fused_trunk_fwd(interpret, block, inp, ws, bs):
+    ws_bf16 = tuple(w.astype(jnp.bfloat16) for w in ws)
+    bs2d = tuple(b.reshape(1, H).astype(jnp.float32) for b in bs)
+    h = _pallas_fwd(interpret, block, inp, ws_bf16, bs2d)
+    return h, (inp, ws_bf16, bs2d)
+
+
+def _fused_trunk_bwd(interpret, block, res, dh):
+    inp, ws_bf16, bs2d = res
+    n = inp.shape[0]
+    dh = dh.astype(jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec((block, IN_PAD), lambda s: (s, 0)),
+        pl.BlockSpec((block, H), lambda s: (s, 0)),
+    ]
+    in_specs += [_const_spec(w.shape) for w in ws_bf16]
+    in_specs += [_const_spec(b.shape) for b in bs2d]
+
+    out_specs = [pl.BlockSpec((block, IN_PAD), lambda s: (s, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((n, IN_PAD), jnp.float32)]
+    for w in ws_bf16:
+        out_specs.append(_const_spec(w.shape))
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+    for b in bs2d:
+        out_specs.append(_const_spec(b.shape))
+        out_shapes.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
+
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        grid=(n // block,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(inp, dh, *ws_bf16, *bs2d)
+
+    dinp = outs[0]
+    dws = tuple(outs[1 : 1 + DEPTH])
+    dbs = tuple(o.reshape(H) for o in outs[1 + DEPTH :])
+    return dinp, dws, dbs
+
+
+_fused_trunk.defvjp(_fused_trunk_fwd, _fused_trunk_bwd)
+
+
+# -----------------------------------------------------------------------------
+# public entry
+# -----------------------------------------------------------------------------
+
+
+def fused_trunk(
+    x_emb: jax.Array, t_emb: jax.Array, ws, bs, *, interpret=None, block=None
+):
+    """Run the 8x256 trunk on (x_emb, t_emb) -> (N, 256) f32 activations.
+
+    x_emb: (N, E1) f32; t_emb: (N, E2) or (1, E2) (broadcast); ws/bs: the
+    eight trunk kernels/biases in flax layout — ws[0]: (E1+E2, H),
+    ws[SKIP_AT+1]: (E1+E2+H, H), others (H, H). Differentiable in all of
+    x_emb, t_emb (broadcast transposes to a sum), ws, bs.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    if block is None:
+        block = BLOCK
+    n = x_emb.shape[0]
+    e1 = x_emb.shape[-1]
+    e2 = t_emb.shape[-1]
+    ein = e1 + e2
+    if ein > IN_PAD:
+        raise ValueError(f"trunk input width {ein} exceeds IN_PAD={IN_PAD}")
+    if ws[0].shape != (ein, H) or ws[SKIP_AT + 1].shape != (ein + H, H):
+        raise ValueError("trunk weight shapes do not match embeddings")
+
+    t_full = jnp.broadcast_to(t_emb, (n, e2))
+    inp = jnp.concatenate(
+        [x_emb, t_full, jnp.zeros((n, IN_PAD - ein), x_emb.dtype)], axis=-1
+    ).astype(jnp.float32)
+
+    ws = list(ws)
+    # pad W0's rows to IN_PAD; split W5's rows into [input | pad | hidden]
+    ws[0] = jnp.concatenate(
+        [ws[0], jnp.zeros((IN_PAD - ein, H), ws[0].dtype)], axis=0
+    )
+    w5 = ws[SKIP_AT + 1]
+    ws[SKIP_AT + 1] = jnp.concatenate(
+        [w5[:ein], jnp.zeros((IN_PAD - ein, H), w5.dtype), w5[ein:]], axis=0
+    )
+
+    n_pad = _round_up(max(n, block), block)
+    if n_pad != n:
+        inp = jnp.concatenate(
+            [inp, jnp.zeros((n_pad - n, IN_PAD), inp.dtype)], axis=0
+        )
+
+    h = _fused_trunk(bool(interpret), int(block), inp, tuple(ws), tuple(bs))
+    return h[:n].astype(jnp.float32)
+
+
+def reference_trunk(x_emb, t_emb, ws, bs):
+    """Slow-but-obvious f32 jnp equivalent: the parity oracle for tests."""
+    n = x_emb.shape[0]
+    t_full = jnp.broadcast_to(t_emb, (n, t_emb.shape[-1]))
+    inp = jnp.concatenate([x_emb, t_full], axis=-1).astype(jnp.float32)
+    h = inp
+    for i in range(DEPTH):
+        h = jax.nn.relu(h @ ws[i] + bs[i])
+        if i == SKIP_AT:
+            h = jnp.concatenate([inp, h], axis=-1)
+    return h

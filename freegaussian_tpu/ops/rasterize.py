@@ -126,10 +126,18 @@ def rasterization(
     )
 
     means2d = proj.means2d
+    sink_for_pixels = None
     if means2d_sink is not None:
-        # Zero-valued input whose custom-VJP cotangent carries the absgrad
-        # statistic (and whose autodiff cotangent is the plain screen grad).
-        means2d = means2d + means2d_sink
+        if backend == "pallas":
+            # True AbsGS semantics (ref gsplat absgrad=True, consumed at
+            # freegaussian_model.py:377): the fused backward accumulates the
+            # per-tile |d means2d| into this input's cotangent.
+            sink_for_pixels = means2d_sink
+        else:
+            # Oracle backend: plain autodiff can only deliver the signed
+            # screen grad, so the sink rides means2d (|signed| <= absgrad;
+            # CPU-only approximation, the TPU path above is exact AbsGS).
+            means2d = means2d + means2d_sink
 
     if sh_degree is not None:
         camtoworld_pos = -viewmat[:3, :3].T @ viewmat[:3, 3]
@@ -181,6 +189,10 @@ def rasterization(
         radii_full = g(radii_full)
         compensations_full = g(compensations_full)
         conics = g(proj.conics)
+        if sink_for_pixels is not None:
+            # transpose = psum_scatter: each chip's absgrad rows reduce back
+            # to the owning Gaussian shard.
+            sink_for_pixels = g(sink_for_pixels)
     else:
         conics = proj.conics
 
@@ -230,6 +242,7 @@ def rasterization(
             tile_size=tile_size,
             chunk=chunk,
             capacity=isect_capacity,
+            means2d_sink=sink_for_pixels,
         )
     else:
         raise ValueError(f"Unknown backend: {backend}")

@@ -500,19 +500,19 @@ def _run_bwd(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _rasterize_tiles(cfg, num_seg_cap, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, gids, sink):
+def _rasterize_tiles(cfg, num_seg_cap, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi):
     color, alpha = _run_fwd(cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap)
     return color, alpha
 
 
-def _rasterize_tiles_fwd(cfg, num_seg_cap, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, gids, sink):
+def _rasterize_tiles_fwd(cfg, num_seg_cap, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi):
     color, alpha = _run_fwd(cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap)
-    res = (packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, gids, color, alpha, sink.shape[0])
+    res = (packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, color, alpha)
     return (color, alpha), res
 
 
 def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
-    packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, gids, color, alpha, n = res
+    packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, color, alpha = res
     g_color, g_alpha = cots
     r_total = (
         jnp.einsum(
@@ -520,18 +520,19 @@ def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
         )[..., None]
         + alpha * g_alpha
     )
-    d_all = _run_bwd(
+    # d_all rows 6:8 carry the per-intersection |d means2d| (absgrad): the
+    # outer `_gather_rows` VJP segment-sums ALL rows per Gaussian, and the
+    # packed-layout concat routes rows 6:8 to `means2d_sink`'s cotangent —
+    # the absgrad reduction rides the one sort-based reduction for free
+    # (a separate jax.ops.segment_sum here cost ~1.5 ms of scatter).
+    d_packed = _run_bwd(
         cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap,
         g_color, g_alpha, r_total,
     )
-    d_packed = d_all
-    d_abs = d_all[6:8]  # absgrad rows live in the pad rows (dropped upstream)
-    # Deterministic segment-sum of per-tile |grad| rows -> per-Gaussian absgrad.
-    d_sink = jax.ops.segment_sum(d_abs.T, gids, num_segments=n + 1)[:n]
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     return (
         d_packed, f0(seg_tile), f0(seg_flags), f0(seg_chunk), f0(seg_lo),
-        f0(seg_hi), f0(gids), d_sink,
+        f0(seg_hi),
     )
 
 
@@ -598,14 +599,20 @@ def rasterize_pixels_pallas(
 
     # Gather per-intersection packed rows; index n is the zero padding row.
     # Pad columns keep color rows at sublane 8 and round the row count to a
-    # multiple of 8 (Mosaic slice-alignment requirement).
+    # multiple of 8 (Mosaic slice-alignment requirement). Columns 6:8 hold
+    # `means2d_sink` (zeros by contract, so the forward is unchanged): the
+    # bwd kernel writes the per-intersection |d means2d| into rows 6:8, and
+    # the `_gather_rows` VJP + this concat's transpose deliver the absgrad
+    # as the sink's cotangent with no extra reduction.
     d_rows = _round_up(8 + C, 8)
+    if means2d_sink is None:
+        means2d_sink = jnp.zeros((n, 2), jnp.float32)
     per_gauss = jnp.concatenate(
         [
             means2d,
             conics,
             opacities[:, None],
-            jnp.zeros((n, 2), means2d.dtype),
+            means2d_sink.astype(means2d.dtype),
             colors,
             jnp.zeros((n, d_rows - 8 - C), means2d.dtype),
         ],
@@ -617,9 +624,6 @@ def rasterize_pixels_pallas(
     packed = _gather_rows(
         per_gauss, isect.gauss_ids, isect.offsets, isect.counts
     ).T  # (D, capacity) — differentiable; custom sort-based segment-sum VJP
-
-    if means2d_sink is None:
-        means2d_sink = jnp.zeros((n, 2), jnp.float32)
 
     seg_flags = (
         isect.seg_first + 2 * isect.seg_live + 4 * isect.seg_chunk_first
@@ -633,8 +637,6 @@ def rasterize_pixels_pallas(
         isect.seg_chunk,
         isect.seg_lo,
         isect.seg_hi,
-        isect.gauss_ids,
-        means2d_sink,
     )
     color_tiles = color_tiles[:num_tiles]
     alpha_tiles = alpha_tiles[:num_tiles]

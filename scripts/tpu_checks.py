@@ -337,6 +337,269 @@ def run_mlp():
     bench_fn("deform bf16 fwd+bwd", lambda x: jax.tree.leaves(g16(vars16, x))[0], [x])
 
 
+def run_fused():
+    """Fused Pallas trunk (ops/mlp_pallas.py) vs the flax bf16 field path on
+    hardware: full-field output parity + fwd / fwd+bwd timing at N=100k."""
+    from freegaussian_tpu.models.fields import DeformField, deform_apply_fused
+
+    N = 100_000
+    field = DeformField(is_blender=True, compute_dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (N, 3))
+    t = jnp.full((1, 1), 0.5)
+    v = field.init(jax.random.PRNGKey(1), x, t)
+
+    @jax.jit
+    def both(x):
+        a = field.apply(v, x, t)
+        b = deform_apply_fused(field, v, x, t)
+        return a, b
+
+    (a, b) = both(x)
+    for name, ra, rb in [
+        ("w", a[0].w, b[0].w), ("v", a[0].v, b[0].v),
+        ("theta", a[0].theta, b[0].theta),
+        ("rot", a[1], b[1]), ("scale", a[2], b[2]),
+    ]:
+        scale = float(jnp.max(jnp.abs(ra))) + 1e-3
+        log(f"fused-vs-flax {name}: rel {float(jnp.max(jnp.abs(ra - rb))) / scale:.2e}")
+
+    def loss_of(apply_fn):
+        def loss(v, x):
+            d_xyz, rot, sc = apply_fn(v, x, t)
+            return (
+                jnp.sum(d_xyz.w) + jnp.sum(d_xyz.v) + jnp.sum(d_xyz.theta)
+                + jnp.sum(rot) + jnp.sum(sc)
+            )
+        return loss
+
+    from freegaussian_tpu.ops import mlp_pallas
+
+    variants = [("flax-bf16", field.apply)]
+    for blk in (512, 1024, 2048):
+        variants.append(
+            (f"fused-b{blk}", lambda v_, x_, t_, b=blk: deform_apply_fused(
+                field, v_, x_, t_, block=b))
+        )
+    for name, ap in variants:
+        l = loss_of(ap)
+        g = jax.grad(l)
+        bench_fn(f"deform {name} fwd", lambda x: l(v, x), [x])
+        bench_fn(
+            f"deform {name} fwd+bwd", lambda x: jax.tree.leaves(g(v, x))[0], [x]
+        )
+    mlp_pallas.FWD_SEMANTICS = "parallel"
+    l = loss_of(variants[2][1])
+    bench_fn("deform fused-b1024-par fwd", lambda x: l(v, x), [x])
+    mlp_pallas.FWD_SEMANTICS = "arbitrary"
+
+
+def run_fusedmicro():
+    """Isolate the fused-trunk slowness: raw trunk (no embed/heads) fused vs
+    XLA, and single-matmul Pallas vs XLA dot at the same data volume."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from freegaussian_tpu.ops import mlp_pallas
+    from freegaussian_tpu.ops.mlp_pallas import fused_trunk
+
+    N, Hh, B = 102400, 256, 1024
+    x63 = jax.random.normal(jax.random.PRNGKey(0), (N, 63))
+    t30 = jax.random.normal(jax.random.PRNGKey(1), (1, 30))
+    ws, bs = [], []
+    dims = [93] + [Hh] * 7
+    dims[5] = 93 + Hh
+    for i in range(8):
+        ws.append(jax.random.normal(jax.random.PRNGKey(10 + i), (dims[i], Hh)) / 16)
+        bs.append(jnp.zeros((Hh,)))
+    ws, bs = tuple(ws), tuple(bs)
+
+    def raw_fused(x):
+        return fused_trunk(x, t30, ws, bs, block=1024)
+
+    def raw_xla(x):
+        h = jnp.concatenate([x, jnp.broadcast_to(t30, (N, 30))], axis=-1)
+        inp = h
+        for i in range(8):
+            z = jax.lax.dot_general(
+                h.astype(jnp.bfloat16), ws[i].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            h = jax.nn.relu(z + bs[i])
+            if i == 4:
+                h = jnp.concatenate([inp, h], axis=-1)
+        return h
+
+    bench_fn("raw trunk fused b1024", raw_fused, [x63])
+    bench_fn("raw trunk xla-chain", raw_xla, [x63])
+
+    xh = jax.random.normal(jax.random.PRNGKey(2), (N, Hh))
+    w1 = jax.random.normal(jax.random.PRNGKey(3), (Hh, Hh)) / 16
+
+    def xla_dot(x):
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w1.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    def _one_mm_kernel(x_ref, w_ref, o_ref):
+        o_ref[...] = jax.lax.dot_general(
+            x_ref[...].astype(jnp.bfloat16), w_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    def pallas_dot(x):
+        return pl.pallas_call(
+            _one_mm_kernel,
+            grid=(N // B,),
+            in_specs=[
+                pl.BlockSpec((B, Hh), lambda s: (s, 0)),
+                pl.BlockSpec((Hh, Hh), lambda s: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((B, Hh), lambda s: (s, 0)),
+            out_shape=jax.ShapeDtypeStruct((N, Hh), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)
+            ),
+        )(x, w1.astype(jnp.bfloat16))
+
+    bench_fn("micro xla dot 256x256", xla_dot, [xh])
+    bench_fn("micro pallas dot 256x256", pallas_dot, [xh])
+
+    def _chain8_kernel(x_ref, w_ref, o_ref):
+        h = x_ref[...].astype(jnp.bfloat16)
+        for _ in range(8):
+            z = jax.lax.dot_general(
+                h, w_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            h = jax.nn.relu(z).astype(jnp.bfloat16)
+        o_ref[...] = h
+
+    def pallas_chain8(x):
+        return pl.pallas_call(
+            _chain8_kernel,
+            grid=(N // B,),
+            in_specs=[
+                pl.BlockSpec((B, Hh), lambda s: (s, 0)),
+                pl.BlockSpec((Hh, Hh), lambda s: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((B, Hh), lambda s: (s, 0)),
+            out_shape=jax.ShapeDtypeStruct((N, Hh), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)
+            ),
+        )(x, w1.astype(jnp.bfloat16))
+
+    bench_fn("micro pallas chain8 256", pallas_chain8, [xh])
+
+    def _chain8_f32_kernel(x_ref, w_ref, o_ref):
+        h = x_ref[...]
+        for _ in range(8):
+            z = jax.lax.dot_general(
+                h, w_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            h = jax.nn.relu(z)
+        o_ref[...] = h
+
+    def pallas_chain8_f32(x):
+        return pl.pallas_call(
+            _chain8_f32_kernel,
+            grid=(N // B,),
+            in_specs=[
+                pl.BlockSpec((B, Hh), lambda s: (s, 0)),
+                pl.BlockSpec((Hh, Hh), lambda s: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((B, Hh), lambda s: (s, 0)),
+            out_shape=jax.ShapeDtypeStruct((N, Hh), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)
+            ),
+        )(x, w1)
+
+    bench_fn("micro pallas chain8 f32", pallas_chain8_f32, [xh])
+
+
+def _profile_op_table(tag, fn, args, topk=25):
+    """Run fn under jax.profiler.trace and print the top device ops by total
+    duration (parsed from the perfetto trace.json.gz — no tensorboard dep)."""
+    import glob
+    import gzip
+    import json
+    import shutil
+
+    d = f"/tmp/jaxprof_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    r = fn(*args)
+    jax.block_until_ready(r)
+    with jax.profiler.trace(d):
+        for _ in range(5):
+            r = fn(*args)
+        jax.block_until_ready(r)
+    files = glob.glob(f"{d}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        log(f"[prof {tag}] no trace file found under {d}")
+        return
+    with gzip.open(files[0], "rt") as f:
+        trace = json.load(f)
+    # device-side complete events: pid whose name mentions TPU / device
+    pid_names = {
+        e["pid"]: e["args"].get("name", "")
+        for e in trace["traceEvents"]
+        if e.get("ph") == "M" and e.get("name") == "process_name" and "args" in e
+    }
+    dev_pids = {
+        p for p, nm in pid_names.items()
+        if "TPU" in nm or "tpu" in nm or "Device" in nm or "/device" in nm
+    }
+    agg = {}
+    for e in trace["traceEvents"]:
+        if e.get("ph") != "X":
+            continue
+        if dev_pids and e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "?")
+        agg[name] = agg.get(name, 0.0) + e.get("dur", 0)
+    items = sorted(agg.items(), key=lambda kv: -kv[1])[:topk]
+    log(f"[prof {tag}] top ops (us total over 5 iters):")
+    for name, us in items:
+        log(f"    {us/5:10.1f} us  {name[:90]}")
+
+
+def run_fusedprof():
+    from freegaussian_tpu.models.fields import DeformField, deform_apply_fused
+
+    N = 100_000
+    field = DeformField(is_blender=True, compute_dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (N, 3))
+    t = jnp.full((1, 1), 0.5)
+    v = field.init(jax.random.PRNGKey(1), x, t)
+
+    def total(out):
+        d_xyz, rot, sc = out
+        return (
+            jnp.sum(d_xyz.w) + jnp.sum(d_xyz.v) + jnp.sum(d_xyz.theta)
+            + jnp.sum(rot) + jnp.sum(sc)
+        )
+
+    f_flax = jax.jit(lambda x: total(field.apply(v, x, t)))
+    f_fused = jax.jit(lambda x: total(deform_apply_fused(field, v, x, t)))
+    _profile_op_table("flax", f_flax, [x])
+    _profile_op_table("fused", f_fused, [x])
+
+
 def run_xinterp():
     """Compiled vs interpret mode for the SAME pallas path on the same chip:
     isolates hardware-kernel miscompiles from algorithm/oracle differences."""
@@ -590,6 +853,12 @@ def main():
     log(f"devices: {jax.devices()}")
     if "xinterp" in parts:
         run_xinterp()
+    if "fused" in parts:
+        run_fused()
+    if "fusedmicro" in parts:
+        run_fusedmicro()
+    if "fusedprof" in parts:
+        run_fusedprof()
     if "profile" in parts:
         run_profile()
     if "tri" in parts:
