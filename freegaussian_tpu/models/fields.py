@@ -201,12 +201,27 @@ def deform_apply_fused(field: DeformField, variables, x, t, *, interpret=None, b
             + k1["bias"].astype(ct)
         )
         idx = 2
-    x_emb = positional_embed(x, field.multires)
     ws = tuple(p[f"TorchLinear_{idx + i}"]["kernel"] for i in range(field.depth))
     bs = tuple(p[f"TorchLinear_{idx + i}"]["bias"] for i in range(field.depth))
-    h = fused_trunk(
-        x_emb, t_emb.astype(jnp.float32), ws, bs, interpret=interpret, block=block
-    )
+    if t_emb.shape[0] == 1:
+        # Shared frame time (the training hot path): x's positional embedding
+        # moves inside the kernel (fused_deform_trunk) — building it in-graph
+        # cost more than the whole trunk (3.6 ms of sin/cos fusions + 1.5 ms
+        # concatenate at N=100k on v5e, docs/NOTES_ROUND2.md).
+        from ..ops.mlp_pallas import fused_deform_trunk
+
+        h = fused_deform_trunk(
+            x, t_emb.astype(jnp.float32), ws, bs,
+            num_freqs=field.multires, interpret=interpret, block=block,
+        )
+    else:
+        from ..ops.mlp_pallas import fused_trunk
+
+        x_emb = positional_embed(x, field.multires)
+        h = fused_trunk(
+            x_emb, t_emb.astype(jnp.float32), ws, bs,
+            interpret=interpret, block=block,
+        )
 
     hp = idx + field.depth
     heads = [p[f"TorchLinear_{hp + j}"] for j in range(4)]
@@ -230,14 +245,16 @@ def control_apply_fused(field: ControlField, variables, x, value, *, interpret=N
     """`ControlField.apply` with the trunk on the fused Pallas MLP kernel.
     The stage-2 control trunk is architecturally identical to the deform
     trunk (value_emb replaces t_emb, per-point); heads stay f32 outside."""
-    from ..ops.mlp_pallas import fused_trunk
+    from ..ops.mlp_pallas import fused_control_trunk
 
     p = variables["params"]
-    value_emb = positional_embed(value, field.multires)
-    x_emb = positional_embed(x, field.multires)
     ws = tuple(p[f"TorchLinear_{i}"]["kernel"] for i in range(field.depth))
     bs = tuple(p[f"TorchLinear_{i}"]["bias"] for i in range(field.depth))
-    h = fused_trunk(x_emb, value_emb, ws, bs, interpret=interpret, block=block)
+    value_full = jnp.broadcast_to(value, (x.shape[0], value.shape[-1]))
+    h = fused_control_trunk(
+        x, value_full, ws, bs,
+        num_freqs=field.multires, interpret=interpret, block=block,
+    )
     heads = [p[f"TorchLinear_{field.depth + j}"] for j in range(3)]
 
     def head(j):

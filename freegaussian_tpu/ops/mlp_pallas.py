@@ -45,6 +45,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -317,3 +318,276 @@ def reference_trunk(x_emb, t_emb, ws, bs):
         if i == SKIP_AT:
             h = jnp.concatenate([inp, h], axis=-1)
     return h
+
+
+# -----------------------------------------------------------------------------
+# In-kernel positional embedding ("field" variant)
+#
+# Profiling the composed deform apply on v5e showed the NeRF embedding
+# dominating the graph: positional_embed builds 21 lane-padded (N, 3) pieces
+# and concatenates them (3.6 ms of sin/cos fusions + 1.5 ms of concatenate at
+# N=100k — docs/NOTES_ROUND2.md), dwarfing the 0.6 ms trunk kernel. Here the
+# embedding moves inside the kernel: the raw (N, <=6) coordinates enter as a
+# (B, 16) block, one tiny HIGHEST-precision matmul against a constant
+# "selection" matrix S (16, 128) replicates each component to its embedding
+# lanes scaled by its frequency, and a per-lane `kind` row selects
+# {identity, sin, cos}. Lane order equals positional_embed's concat order
+# ([v, sin(2^0 v), cos(2^0 v), sin(2^1 v), ...] interleaved by component),
+# so the flax W0/W5 parameter layouts are reused unchanged. A broadcast
+# `trow` (1, 128) carries the shared time embedding (deform: timenet output)
+# added onto its lanes.
+# -----------------------------------------------------------------------------
+
+XSRC = 16  # padded source-coordinate lanes (<= 2 sources x 8)
+
+
+def _field_layout(num_freqs: int, sources: int):
+    """Selection matrix / kind row for `sources` 3-vector inputs, each
+    embedded to 3 * (1 + 2 * num_freqs) lanes. Source s lives in xsrc
+    sublanes [8s, 8s+3). Returns (S (16, 128) f32, kind (1, 128) f32,
+    per-source lane width)."""
+    import numpy as np
+
+    width = 3 * (1 + 2 * num_freqs)
+    S = np.zeros((XSRC, 128), np.float32)
+    kind = np.zeros((1, 128), np.float32)
+    for s in range(sources):
+        lane = s * width
+        for blk in range(1 + 2 * num_freqs):
+            if blk == 0:
+                f, kd = 1.0, 0.0
+            else:
+                f = float(2.0 ** ((blk - 1) // 2))
+                kd = 1.0 if blk % 2 == 1 else 2.0
+            for c in range(3):
+                S[8 * s + c, lane] = f
+                kind[0, lane] = kd
+                lane += 1
+    return jnp.asarray(S), jnp.asarray(kind), width
+
+
+def _dot_f32(a, b, dims):
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _embed(x16, S, kind, trow):
+    """(B, 16) coords -> (B, 128) f32 embedding lanes (+ broadcast trow)."""
+    scaled = _dot_f32(x16, S, ((1,), (0,)))
+    emb = jnp.where(
+        kind == 1.0, jnp.sin(scaled), jnp.where(kind == 2.0, jnp.cos(scaled), scaled)
+    )
+    return emb + trow, scaled
+
+
+def _field_fwd_kernel(x_ref, S_ref, kind_ref, trow_ref, *refs):
+    w = [refs[i][...] for i in range(DEPTH)]
+    b = [refs[DEPTH + i][...] for i in range(DEPTH)]
+    out_ref = refs[2 * DEPTH]
+    emb, _ = _embed(x_ref[...], S_ref[...], kind_ref[...], trow_ref[...])
+    out_ref[...] = _forward_acts(emb, w, b, keep=False)[-1]
+
+
+def _field_bwd_kernel(x_ref, dh_ref, S_ref, kind_ref, trow_ref, *refs):
+    w = [refs[i][...] for i in range(DEPTH)]
+    b = [refs[DEPTH + i][...] for i in range(DEPTH)]
+    dx_ref = refs[2 * DEPTH]
+    dw_refs = refs[2 * DEPTH + 1 : 3 * DEPTH + 1]
+    db_refs = refs[3 * DEPTH + 1 : 4 * DEPTH + 1]
+    dtrow_ref = refs[4 * DEPTH + 1]
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        for r in (*dw_refs, *db_refs, dtrow_ref):
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    S = S_ref[...]
+    kind = kind_ref[...]
+    emb, scaled = _embed(x_ref[...], S, kind, trow_ref[...])
+    acts = _forward_acts(emb, w, b)  # in-kernel rematerialization
+
+    g = dh_ref[...]
+    g_skip = None
+    d_emb = None
+    for i in range(DEPTH - 1, -1, -1):
+        g = g * (acts[i].astype(jnp.float32) > 0)
+        db_refs[i][...] += jnp.sum(g, axis=0, keepdims=True)
+        if i == 0:
+            dw_refs[0][...] += _mm_tn(emb, g)
+            d_emb = _mm_nt(g, w[0]) + g_skip
+        elif i == SKIP_AT + 1:
+            dw_refs[i][0:IN_PAD] += _mm_tn(emb, g)
+            dw_refs[i][IN_PAD : IN_PAD + H] += _mm_tn(acts[i - 1], g)
+            g_skip = _mm_nt(g, w[i][0:IN_PAD])
+            g = _mm_nt(g, w[i][IN_PAD : IN_PAD + H])
+        else:
+            dw_refs[i][...] += _mm_tn(acts[i - 1], g)
+            g = _mm_nt(g, w[i])
+
+    dtrow_ref[...] += jnp.sum(d_emb, axis=0, keepdims=True)
+    d_scaled = (
+        jnp.where(
+            kind == 1.0,
+            jnp.cos(scaled),
+            jnp.where(kind == 2.0, -jnp.sin(scaled), 1.0),
+        )
+        * d_emb
+    )
+    dx_ref[...] = _dot_f32(d_scaled, S, ((1,), (1,)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_field(interpret: bool, block: int, xsrc, S, kind, trow, ws, bs):
+    return _fused_field_fwd(interpret, block, xsrc, S, kind, trow, ws, bs)[0]
+
+
+def _fused_field_fwd(interpret, block, xsrc, S, kind, trow, ws, bs):
+    n = xsrc.shape[0]
+    ws_bf16 = tuple(w.astype(jnp.bfloat16) for w in ws)
+    bs2d = tuple(b.reshape(1, H).astype(jnp.float32) for b in bs)
+    in_specs = [pl.BlockSpec((block, XSRC), lambda s: (s, 0))]
+    in_specs += [_const_spec(a.shape) for a in (S, kind, trow)]
+    in_specs += [_const_spec(w.shape) for w in ws_bf16]
+    in_specs += [_const_spec(b.shape) for b in bs2d]
+    h = pl.pallas_call(
+        _field_fwd_kernel,
+        grid=(n // block,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block, H), lambda s: (s, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, H), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(FWD_SEMANTICS,)
+        ),
+        interpret=interpret,
+    )(xsrc, S, kind, trow, *ws_bf16, *bs2d)
+    return h, (xsrc, S, kind, trow, ws_bf16, bs2d)
+
+
+def _fused_field_bwd(interpret, block, res, dh):
+    xsrc, S, kind, trow, ws_bf16, bs2d = res
+    n = xsrc.shape[0]
+    dh = dh.astype(jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec((block, XSRC), lambda s: (s, 0)),
+        pl.BlockSpec((block, H), lambda s: (s, 0)),
+    ]
+    in_specs += [_const_spec(a.shape) for a in (S, kind, trow)]
+    in_specs += [_const_spec(w.shape) for w in ws_bf16]
+    in_specs += [_const_spec(b.shape) for b in bs2d]
+
+    out_specs = [pl.BlockSpec((block, XSRC), lambda s: (s, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((n, XSRC), jnp.float32)]
+    for w in ws_bf16:
+        out_specs.append(_const_spec(w.shape))
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+    for b in bs2d:
+        out_specs.append(_const_spec(b.shape))
+        out_shapes.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
+    out_specs.append(_const_spec(trow.shape))
+    out_shapes.append(jax.ShapeDtypeStruct(trow.shape, jnp.float32))
+
+    outs = pl.pallas_call(
+        _field_bwd_kernel,
+        grid=(n // block,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xsrc, dh, S, kind, trow, *ws_bf16, *bs2d)
+
+    dxsrc = outs[0]
+    dws = tuple(outs[1 : 1 + DEPTH])
+    dbs = tuple(o.reshape(H) for o in outs[1 + DEPTH : 1 + 2 * DEPTH])
+    dtrow = outs[1 + 2 * DEPTH]
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return dxsrc, f0(S), f0(kind), dtrow, dws, dbs
+
+
+_fused_field.defvjp(_fused_field_fwd, _fused_field_bwd)
+
+
+def _pad_trunk_weights(ws, ein):
+    ws = list(ws)
+    ws[0] = jnp.concatenate(
+        [ws[0], jnp.zeros((IN_PAD - ein, H), ws[0].dtype)], axis=0
+    )
+    w5 = ws[SKIP_AT + 1]
+    ws[SKIP_AT + 1] = jnp.concatenate(
+        [w5[:ein], jnp.zeros((IN_PAD - ein, H), w5.dtype), w5[ein:]], axis=0
+    )
+    return tuple(ws)
+
+
+def _pad_rows(a, n_pad):
+    n = a.shape[0]
+    if n_pad == n:
+        return a
+    return jnp.concatenate(
+        [a, jnp.zeros((n_pad - n,) + a.shape[1:], a.dtype)], axis=0
+    )
+
+
+def fused_deform_trunk(
+    x: jax.Array, t_emb: jax.Array, ws, bs, *, num_freqs=10,
+    interpret=None, block=None,
+):
+    """Trunk on [positional_embed(x, num_freqs) | broadcast t_emb] with the
+    embedding computed in-kernel. x: (N, 3); t_emb: (1, E2) shared row (the
+    deform timenet output). Differentiable in x, t_emb, ws, bs."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    if block is None:
+        block = BLOCK
+    n = x.shape[0]
+    e2 = t_emb.shape[-1]
+    S, kind, width = _field_layout(num_freqs, sources=1)
+    ein = width + e2
+    if ws[0].shape != (ein, H) or ws[SKIP_AT + 1].shape != (ein + H, H):
+        raise ValueError("trunk weight shapes do not match embedding layout")
+    trow = jnp.zeros((1, 128), jnp.float32)
+    trow = jax.lax.dynamic_update_slice(
+        trow, t_emb.astype(jnp.float32), (0, width)
+    )
+    xsrc = jnp.concatenate(
+        [x.astype(jnp.float32), jnp.zeros((n, XSRC - 3), jnp.float32)], axis=-1
+    )
+    n_pad = _round_up(max(n, block), block)
+    h = _fused_field(
+        bool(interpret), int(block), _pad_rows(xsrc, n_pad), S, kind, trow,
+        _pad_trunk_weights(ws, ein), tuple(bs),
+    )
+    return h[:n].astype(jnp.float32)
+
+
+def fused_control_trunk(
+    x: jax.Array, value: jax.Array, ws, bs, *, num_freqs=10,
+    interpret=None, block=None,
+):
+    """Trunk on [positional_embed(x) | positional_embed(value)] with both
+    embeddings in-kernel. x, value: (N, 3). Differentiable in all inputs."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    if block is None:
+        block = BLOCK
+    n = x.shape[0]
+    S, kind, width = _field_layout(num_freqs, sources=2)
+    ein = 2 * width
+    if ws[0].shape != (ein, H) or ws[SKIP_AT + 1].shape != (ein + H, H):
+        raise ValueError("trunk weight shapes do not match embedding layout")
+    pad5 = jnp.zeros((n, 8 - 3), jnp.float32)
+    xsrc = jnp.concatenate(
+        [x.astype(jnp.float32), pad5, value.astype(jnp.float32), pad5], axis=-1
+    )
+    trow = jnp.zeros((1, 128), jnp.float32)
+    n_pad = _round_up(max(n, block), block)
+    h = _fused_field(
+        bool(interpret), int(block), _pad_rows(xsrc, n_pad), S, kind, trow,
+        _pad_trunk_weights(ws, ein), tuple(bs),
+    )
+    return h[:n].astype(jnp.float32)

@@ -375,7 +375,7 @@ def run_fused():
     from freegaussian_tpu.ops import mlp_pallas
 
     variants = [("flax-bf16", field.apply)]
-    for blk in (512, 1024, 2048):
+    for blk in (512, 1024):  # 2048 exceeds the 16M scoped-vmem limit in bwd
         variants.append(
             (f"fused-b{blk}", lambda v_, x_, t_, b=blk: deform_apply_fused(
                 field, v_, x_, t_, block=b))

@@ -136,6 +136,85 @@ def test_deform_apply_fused_matches_flax():
     assert nonzero >= len(gleaves) - 2
 
 
+def test_fused_field_embedding_gradients_match_flax():
+    """The in-kernel positional embedding's backward (sin/cos chain rule via
+    the selection-matrix transpose) must match autodiff through the flax
+    path normwise — for x, the shared t, AND the trunk weights."""
+    field = DeformField(compute_dtype=jnp.bfloat16)
+    v = field.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)), jnp.zeros((1, 1)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 3))
+    t = jnp.full((1, 1), 0.41)
+
+    def loss(fn):
+        def f(x, t, v):
+            d, r, s = fn(v, x, t)
+            return (
+                jnp.sum(jnp.sin(3 * d.w)) + jnp.sum(d.v * d.v)
+                + jnp.sum(r) + jnp.sum(s * s)
+            )
+        return f
+
+    g_fus = jax.grad(
+        loss(lambda v, x, t: deform_apply_fused(field, v, x, t, interpret=True)),
+        argnums=(0, 1, 2),
+    )(x, t, v)
+    g_ref = jax.grad(loss(field.apply), argnums=(0, 1, 2))(x, t, v)
+    for a, b, name, tol in [
+        (g_fus[0], g_ref[0], "dx", 0.15),
+        # dt funnels every point's relu-mask divergence into one scalar path
+        (g_fus[1], g_ref[1], "dt", 0.25),
+    ]:
+        nerr = float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-6))
+        assert nerr < tol, f"{name}: norm rel err {nerr}"
+    fus_leaves = jax.tree.leaves(g_fus[2])
+    ref_leaves = jax.tree.leaves(g_ref[2])
+    bad = 0
+    for a, b in zip(fus_leaves, ref_leaves):
+        nerr = float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-6))
+        bad += nerr > 0.2
+    # bf16 relu-mask divergence makes a few deep-layer weight grads noisy;
+    # the bulk must agree
+    assert bad <= 2, f"{bad} of {len(fus_leaves)} param grads diverge"
+
+
+def test_in_kernel_embedding_exact_vs_precomputed():
+    """fused_deform_trunk (embedding in-kernel) must match fused_trunk fed a
+    precomputed positional_embed(x) EXACTLY (same trunk numerics; the
+    embedding math is f32 in both): values and x/t gradients."""
+    from freegaussian_tpu.ops.math import positional_embed
+    from freegaussian_tpu.ops.mlp_pallas import fused_deform_trunk
+
+    e1, e2 = 63, 30
+    ws, bs = _make_trunk_params(jax.random.PRNGKey(0), e1 + e2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 3))
+    t_emb = jax.random.normal(jax.random.PRNGKey(2), (1, e2))
+    cot = jax.random.normal(jax.random.PRNGKey(3), (256, H))
+
+    def l_old(x, t_emb):
+        return jnp.sum(
+            fused_trunk(positional_embed(x, 10), t_emb, ws, bs, interpret=True)
+            * cot
+        )
+
+    def l_new(x, t_emb):
+        return jnp.sum(
+            fused_deform_trunk(x, t_emb, ws, bs, interpret=True) * cot
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(fused_deform_trunk(x, t_emb, ws, bs, interpret=True)),
+        np.asarray(
+            fused_trunk(positional_embed(x, 10), t_emb, ws, bs, interpret=True)
+        ),
+        rtol=1e-5, atol=1e-5,
+    )
+    g_old = jax.grad(l_old, argnums=(0, 1))(x, t_emb)
+    g_new = jax.grad(l_new, argnums=(0, 1))(x, t_emb)
+    for a, b, name in [(g_new[0], g_old[0], "dx"), (g_new[1], g_old[1], "dt")]:
+        nerr = float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-9))
+        assert nerr < 1e-5, f"{name}: {nerr}"
+
+
 def test_control_apply_fused_matches_flax():
     field = ControlField()
     v = field.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)), jnp.zeros((1, 3)))
