@@ -22,7 +22,9 @@ import time
 import numpy as np
 
 
-def main():
+def main(cfg_overrides=None, label=None):
+    """cfg_overrides: optional dict of SplatConfig field overrides (used by
+    scripts/tpu_checks.py stepab for on-chip A/B runs)."""
     import jax
 
     jax.config.update("jax_default_matmul_precision", "float32")
@@ -58,7 +60,10 @@ def main():
     # capacity factor 3 mirrors the trainer's steady state (it sizes the
     # intersection pipeline off live counts and grows at 85% occupancy); the
     # bench scene holds ~260k intersections against the 300k cap.
-    cfg = SplatConfig(warm_up=0, background_color="black", isect_capacity_factor=3)
+    cfg = SplatConfig(
+        warm_up=0, background_color="black", isect_capacity_factor=3,
+        **(cfg_overrides or {}),
+    )
     from freegaussian_tpu.models.splat_model import make_deform_apply, make_deform_field
 
     deform = make_deform_field(cfg)
@@ -125,16 +130,15 @@ def main():
     # H100-class GPUs at a few hundred k Gaussians => ~3e7 train-step
     # pixels/s; target = 2x that.
     baseline = 6e7
-    print(
-        json.dumps(
-            {
-                "metric": "train_step_pixels_per_sec",
-                "value": pixels_per_sec,
-                "unit": "pixels/s",
-                "vs_baseline": pixels_per_sec / baseline,
-            }
-        )
-    )
+    record = {
+        "metric": "train_step_pixels_per_sec",
+        "value": pixels_per_sec,
+        "unit": "pixels/s",
+        "vs_baseline": pixels_per_sec / baseline,
+    }
+    if label is not None:
+        record["label"] = label
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

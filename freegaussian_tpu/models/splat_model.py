@@ -56,10 +56,13 @@ class SplatConfig:
     # HBM-bound; recomputing beats storing (6.9 -> 5.8 ms at N=100k on v5e)
     deform_remat: bool = True
     # run the trunk as ONE fused Pallas kernel (ops/mlp_pallas.py): weights
-    # VMEM-resident, per-block remat backward, f32 weight-grad accumulation.
+    # VMEM-resident, per-block remat backward, f32 weight-grad accumulation,
+    # positional embedding computed in-kernel (selection-matrix lanes).
     # Auto-disabled off-TPU (the interpret-mode kernel is for unit tests).
-    # Default OFF: measured 8.1 vs 5.0 ms against the XLA chain on v5e
-    # (docs/NOTES_ROUND2.md) — flip on only if the kernel wins on your chip.
+    # Measured on v5e at N=100k STANDALONE: fwd+bwd 5.3 ms vs 5.8 ms for the
+    # remat XLA chain, fwd 2.5 vs 4.8 — but inside the full train step the
+    # fused path REGRESSES ~14 ms (stepab A/B, docs/NOTES_ROUND2.md), cause
+    # under investigation. Default stays OFF until the in-step cost is fixed.
     deform_fused: bool = False
     near_plane: float = 0.01
     far_plane: float = 1e10

@@ -54,6 +54,21 @@ DEPTH = 8
 SKIP_AT = 4  # skip concat happens after this layer's relu
 IN_PAD = 128  # padded input channels (E1 + E2 <= 128 for both fields)
 BLOCK = 512  # default rows per grid step (override via fused_trunk(block=...))
+# The forward runs a separate, larger row block: its VMEM need is tiny
+# (keep=False holds ~2 activation buffers vs the backward's 8 remat buffers
+# + f32 weight-grad accumulators), and the 8 sequential per-block matmuls
+# are MXU-pipeline-latency bound — fewer, fatter blocks amortize it.
+FWD_BLOCK_FACTOR = 4
+FWD_BLOCK_MAX = 4096
+
+
+def _fwd_block_for(block: int) -> int:
+    fb = min(block * FWD_BLOCK_FACTOR, FWD_BLOCK_MAX)
+    # the padded row count is a multiple of fb; fb must stay a multiple of
+    # the backward block so both grids divide it
+    return fb if fb % block == 0 else block
+
+
 # grid-dim semantics for the forward kernel ("parallel" legal: disjoint output
 # blocks, const weights). The backward needs "arbitrary" (weight-grad
 # accumulators persist across steps). Knob for hardware A/B.
@@ -191,6 +206,7 @@ def _fused_trunk(interpret: bool, block: int, inp, ws, bs):
 
 def _pallas_fwd(interpret, block, inp, ws_bf16, bs2d):
     n = inp.shape[0]
+    block = _fwd_block_for(block)
     in_specs = [pl.BlockSpec((block, IN_PAD), lambda s: (s, 0))]
     in_specs += [_const_spec(w.shape) for w in ws_bf16]
     in_specs += [_const_spec(b.shape) for b in bs2d]
@@ -297,7 +313,7 @@ def fused_trunk(
         [w5[:ein], jnp.zeros((IN_PAD - ein, H), w5.dtype), w5[ein:]], axis=0
     )
 
-    n_pad = _round_up(max(n, block), block)
+    n_pad = _round_up(max(n, block), _fwd_block_for(block))
     if n_pad != n:
         inp = jnp.concatenate(
             [inp, jnp.zeros((n_pad - n, IN_PAD), inp.dtype)], axis=0
@@ -449,15 +465,16 @@ def _fused_field_fwd(interpret, block, xsrc, S, kind, trow, ws, bs):
     n = xsrc.shape[0]
     ws_bf16 = tuple(w.astype(jnp.bfloat16) for w in ws)
     bs2d = tuple(b.reshape(1, H).astype(jnp.float32) for b in bs)
-    in_specs = [pl.BlockSpec((block, XSRC), lambda s: (s, 0))]
+    fblock = _fwd_block_for(block)
+    in_specs = [pl.BlockSpec((fblock, XSRC), lambda s: (s, 0))]
     in_specs += [_const_spec(a.shape) for a in (S, kind, trow)]
     in_specs += [_const_spec(w.shape) for w in ws_bf16]
     in_specs += [_const_spec(b.shape) for b in bs2d]
     h = pl.pallas_call(
         _field_fwd_kernel,
-        grid=(n // block,),
+        grid=(n // fblock,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((block, H), lambda s: (s, 0)),
+        out_specs=pl.BlockSpec((fblock, H), lambda s: (s, 0)),
         out_shape=jax.ShapeDtypeStruct((n, H), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(FWD_SEMANTICS,)
@@ -557,7 +574,7 @@ def fused_deform_trunk(
     xsrc = jnp.concatenate(
         [x.astype(jnp.float32), jnp.zeros((n, XSRC - 3), jnp.float32)], axis=-1
     )
-    n_pad = _round_up(max(n, block), block)
+    n_pad = _round_up(max(n, block), _fwd_block_for(block))
     h = _fused_field(
         bool(interpret), int(block), _pad_rows(xsrc, n_pad), S, kind, trow,
         _pad_trunk_weights(ws, ein), tuple(bs),
@@ -585,7 +602,7 @@ def fused_control_trunk(
         [x.astype(jnp.float32), pad5, value.astype(jnp.float32), pad5], axis=-1
     )
     trow = jnp.zeros((1, 128), jnp.float32)
-    n_pad = _round_up(max(n, block), block)
+    n_pad = _round_up(max(n, block), _fwd_block_for(block))
     h = _fused_field(
         bool(interpret), int(block), _pad_rows(xsrc, n_pad), S, kind, trow,
         _pad_trunk_weights(ws, ein), tuple(bs),

@@ -134,6 +134,14 @@ def _prefix_matrix(k: int) -> jax.Array:
     return (i <= j).astype(jnp.float32)
 
 
+def _prefix_matrix_excl(k: int) -> jax.Array:
+    """(K, K) strict matrix M with M[i, j] = 1 for i < j: x @ M = EXCLUSIVE
+    cumsum (lane 0 gets 0)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return (i < j).astype(jnp.float32)
+
+
 def _cumsum_lanes_roll(x: jax.Array) -> jax.Array:
     p, k = x.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (p, k), 1)
@@ -177,6 +185,43 @@ def _cumprod_lanes(x: jax.Array) -> jax.Array:
     if SCAN_IMPL == "roll":
         return _cumprod_lanes_roll(x)
     return jnp.exp(_cumsum_lanes(jnp.log(x)))
+
+
+def _transmittance(one_minus: jax.Array, T: jax.Array, alive: jax.Array):
+    """Shared compositing state math for both kernels on a (P, K) block.
+
+    Uses an EXCLUSIVE prefix product (strict triangular matmul on the MXU)
+    so excl_T needs no (P, K) divide, and returns log(one_minus) so T_new
+    can reuse it instead of paying a second transcendental pass.
+    one_minus >= 1 - MAX_ALPHA > 0 always, so the log stays finite.
+
+    Returns (excl_T, incl_T, live, log_om)."""
+    log_om = jnp.log(one_minus)
+    if SCAN_IMPL == "roll":
+        incl = _cumprod_lanes_roll(one_minus)
+        lane = jax.lax.broadcasted_iota(jnp.int32, incl.shape, 1)
+        excl = jnp.where(lane == 0, 1.0, pltpu.roll(incl, 1, axis=1))
+    else:
+        k = one_minus.shape[1]
+        excl = jnp.exp(
+            jax.lax.dot_general(
+                log_om,
+                _prefix_matrix_excl(k),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+    excl_T = T * excl
+    incl_T = excl_T * one_minus
+    live = (incl_T > TRANSMITTANCE_EPS).astype(jnp.float32) * alive
+    return excl_T, incl_T, live, log_om
+
+
+def _t_new(T: jax.Array, live: jax.Array, log_om: jax.Array) -> jax.Array:
+    return T * jnp.exp(
+        jnp.sum(jnp.where(live > 0, log_om, 0.0), axis=1, keepdims=True)
+    )
 
 
 def _pixel_coords(cfg: _Cfg, tile):
@@ -254,10 +299,7 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
         alive = state[:, 1:2]
 
         one_minus = 1.0 - a_eff
-        incl = _cumprod_lanes(one_minus)
-        incl_T = T * incl
-        excl_T = incl_T / one_minus
-        live = (incl_T > TRANSMITTANCE_EPS).astype(jnp.float32) * alive
+        excl_T, incl_T, live, log_om = _transmittance(one_minus, T, alive)
         w = a_eff * excl_T * live  # (P, K)
 
         # precision=HIGHEST: the MXU truncates f32 inputs to bf16 by default,
@@ -268,10 +310,8 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
         )
         alpha_ref[0] += jnp.sum(w, axis=1, keepdims=True)
 
-        # Mosaic has no reduce_prod; one_minus >= 1 - MAX_ALPHA so log is safe.
-        T_new = T * jnp.exp(
-            jnp.sum(jnp.log(jnp.where(live > 0, one_minus, 1.0)), axis=1, keepdims=True)
-        )
+        # Mosaic has no reduce_prod; reuse log(one_minus) from _transmittance.
+        T_new = _t_new(T, live, log_om)
         alive_new = alive * (incl_T[:, -1:] > TRANSMITTANCE_EPS).astype(jnp.float32)
         state[...] = jnp.concatenate([T_new, alive_new], axis=1)
 
@@ -356,10 +396,7 @@ def _bwd_segment_body(
     r_total = rtotal_ref[0]  # (P, 1)
 
     one_minus = 1.0 - a_eff
-    incl = _cumprod_lanes(one_minus)
-    incl_T = T * incl
-    excl_T = incl_T / one_minus
-    live = (incl_T > TRANSMITTANCE_EPS).astype(jnp.float32) * alive
+    excl_T, incl_T, live, log_om = _transmittance(one_minus, T, alive)
     comp = jnp.where(vis, live, 0.0)
     w = a_eff * excl_T * comp
 
@@ -419,9 +456,7 @@ def _bwd_segment_body(
     def _():
         dout_ref[...] += d_chunk
 
-    T_new = T * jnp.exp(
-        jnp.sum(jnp.log(jnp.where(live > 0, one_minus, 1.0)), axis=1, keepdims=True)
-    )
+    T_new = _t_new(T, live, log_om)
     alive_new = alive * (incl_T[:, -1:] > TRANSMITTANCE_EPS).astype(jnp.float32)
     s_cum_new = s_cum + jnp.sum(wb, axis=1, keepdims=True)
     state[...] = jnp.concatenate([T_new, alive_new, s_cum_new], axis=1)

@@ -782,6 +782,84 @@ def run_profile():
     bench_fn("ssim fwd+bwd", lambda a: jax.grad(ssim_loss)(a), [img])
 
 
+def run_stepprof():
+    """Profile the FULL bench train step (scan of 5) with flax vs fused
+    deform: locates where the fused path's in-step regression lives."""
+    from freegaussian_tpu.data.cameras import Camera
+    from freegaussian_tpu.engine.optimizers import (
+        OptimizersConfig, init_opt_states, make_optimizers, apply_group_updates,
+    )
+    from freegaussian_tpu.engine.train_step import GAUSSIAN_GROUPS
+    from freegaussian_tpu.models.gaussians import init_gaussians
+    from freegaussian_tpu.models.splat_model import (
+        SplatConfig, forward, loss_fn, make_deform_apply, make_deform_field,
+    )
+
+    n_gauss, width, height = 100_000, 640, 480
+    rng = np.random.default_rng(0)
+    params, alive = init_gaussians(
+        jax.random.PRNGKey(0), n_gauss,
+        seed_points=(rng.normal(scale=1.0, size=(n_gauss, 3)).astype(np.float32),
+                     rng.uniform(0, 255, (n_gauss, 3)).astype(np.float32)),
+        sh_degree=3,
+    )
+    params["scales"] = jnp.full_like(params["scales"], jnp.log(0.015))
+    c2w = np.eye(4, dtype=np.float32); c2w[2, 3] = 6.0
+    camera = Camera(
+        c2w=jnp.asarray(c2w[:3]), fx=jnp.asarray(500.0), fy=jnp.asarray(500.0),
+        cx=jnp.asarray(width / 2.0), cy=jnp.asarray(height / 2.0),
+        time=jnp.asarray(0.5), width=width, height=height,
+    )
+    optimizers = make_optimizers(OptimizersConfig(max_steps=30000))
+    target = jnp.asarray(rng.uniform(size=(height, width, 3)).astype(np.float32))
+
+    for fused in (False, True):
+        cfg = SplatConfig(
+            warm_up=0, background_color="black", isect_capacity_factor=3,
+            deform_fused=fused,
+        )
+        field = make_deform_field(cfg)
+        deform_apply = make_deform_apply(cfg, field)
+        dvars = field.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 3)), jnp.zeros((1, 1))
+        )
+        pbg = {k: params[k] for k in GAUSSIAN_GROUPS}
+        pbg["deform"] = dvars
+        opt_states = init_opt_states(optimizers, pbg)
+
+        def train_step(carry, _):
+            p, dv, states, t = carry
+
+            def compute_loss(p_, dv_):
+                out = forward(
+                    cfg, p_, alive, camera.replace(time=t),
+                    deform_variables=dv_, deform_apply=deform_apply,
+                    sh_degree_now=3, warmed_up=jnp.asarray(True),
+                    train=True, bg_rng=None,
+                )
+                return loss_fn(cfg, out, {"image": target}, p_, alive)["main_loss"]
+
+            loss, (gp, gd) = jax.value_and_grad(compute_loss, argnums=(0, 1))(p, dv)
+            pb = {k: p[k] for k in GAUSSIAN_GROUPS}
+            pb["deform"] = dv
+            gb = {k: gp[k] for k in GAUSSIAN_GROUPS}
+            gb["deform"] = gd
+            ng, ns = apply_group_updates(optimizers, states, pb, gb)
+            return ({k: ng[k] for k in GAUSSIAN_GROUPS}, ng["deform"], ns, t + 1e-5), loss
+
+        @jax.jit
+        def run(p, dv, states):
+            carry, losses = jax.lax.scan(
+                train_step, (p, dv, states, jnp.asarray(0.5)), None, length=5
+            )
+            return losses
+
+        _profile_op_table(
+            f"step_{'fused' if fused else 'flax'}",
+            lambda: run(params, dvars, opt_states), [], topk=30,
+        )
+
+
 def run_tri():
     """Three-way forward-image comparison ON THIS BACKEND: pallas compiled,
     pallas interpret, and the jnp oracle — localizes which pair diverges."""
@@ -874,6 +952,15 @@ def main():
         import bench
 
         bench.main()
+    if "stepprof" in parts:
+        run_stepprof()
+    if "stepab" in parts:
+        # full-step A/B: flax-remat deform vs fused-kernel deform, one process
+        sys.path.insert(0, ".")
+        import bench
+
+        bench.main({"deform_fused": False}, label="deform_flax")
+        bench.main({"deform_fused": True}, label="deform_fused")
 
 
 if __name__ == "__main__":
