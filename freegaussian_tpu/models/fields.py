@@ -171,14 +171,21 @@ class ControlField(nn.Module):
         return d_xyz, d_rot, d_scale
 
 
-def deform_apply_fused(field: DeformField, variables, x, t, *, interpret=None, block=None):
+def deform_apply_fused(
+    field: DeformField, variables, x, t, *, interpret=None, block=None,
+    impl="pallas",
+):
     """`field.apply(variables, x, t)` with the trunk routed through the fused
-    Pallas MLP kernel (ops/mlp_pallas.py). Same parameter tree, same outputs;
-    the trunk computes in the bf16-matmul/f32-accumulate class instead of the
-    flax bf16 chain (slightly MORE accurate — f32 accumulators). The timenet
-    and the f32 heads (including the reference's `/theta + 1e-5` precedence
-    quirk, freegaussian_model.py:1109-1111) replicate DeformField.__call__
-    exactly; tests/test_mlp_pallas.py pins the two paths together."""
+    Pallas MLP kernel (ops/mlp_pallas.py), or with impl="xla" through its
+    pure-XLA twin (dense selection-matmul embedding + bf16 chain — no
+    custom-call boundary, so it composes with the full train step without
+    layout-flip copies; docs/NOTES_ROUND2.md). Same parameter tree, same
+    outputs; the trunk computes in the bf16-matmul/f32-accumulate class
+    instead of the flax bf16 chain (slightly MORE accurate — f32
+    accumulators). The timenet and the f32 heads (including the reference's
+    `/theta + 1e-5` precedence quirk, freegaussian_model.py:1109-1111)
+    replicate DeformField.__call__ exactly; tests/test_mlp_pallas.py pins
+    the paths together."""
     from ..ops.mlp_pallas import fused_trunk
 
     p = variables["params"]
@@ -203,7 +210,13 @@ def deform_apply_fused(field: DeformField, variables, x, t, *, interpret=None, b
         idx = 2
     ws = tuple(p[f"TorchLinear_{idx + i}"]["kernel"] for i in range(field.depth))
     bs = tuple(p[f"TorchLinear_{idx + i}"]["bias"] for i in range(field.depth))
-    if t_emb.shape[0] == 1:
+    if t_emb.shape[0] == 1 and impl == "xla":
+        from ..ops.mlp_pallas import xla_deform_trunk
+
+        h = xla_deform_trunk(
+            x, t_emb.astype(jnp.float32), ws, bs, num_freqs=field.multires
+        )
+    elif t_emb.shape[0] == 1:
         # Shared frame time (the training hot path): x's positional embedding
         # moves inside the kernel (fused_deform_trunk) — building it in-graph
         # cost more than the whole trunk (3.6 ms of sin/cos fusions + 1.5 ms
@@ -241,20 +254,29 @@ def deform_apply_fused(field: DeformField, variables, x, t, *, interpret=None, b
     return d_xyz, rotation, scaling
 
 
-def control_apply_fused(field: ControlField, variables, x, value, *, interpret=None, block=None):
-    """`ControlField.apply` with the trunk on the fused Pallas MLP kernel.
-    The stage-2 control trunk is architecturally identical to the deform
-    trunk (value_emb replaces t_emb, per-point); heads stay f32 outside."""
-    from ..ops.mlp_pallas import fused_control_trunk
+def control_apply_fused(
+    field: ControlField, variables, x, value, *, interpret=None, block=None,
+    impl="pallas",
+):
+    """`ControlField.apply` with the trunk on the fused Pallas MLP kernel
+    (or, impl="xla", its pure-XLA dense-embedding twin). The stage-2 control
+    trunk is architecturally identical to the deform trunk (value_emb
+    replaces t_emb, per-point); heads stay f32 outside."""
+    from ..ops.mlp_pallas import fused_control_trunk, xla_control_trunk
 
     p = variables["params"]
     ws = tuple(p[f"TorchLinear_{i}"]["kernel"] for i in range(field.depth))
     bs = tuple(p[f"TorchLinear_{i}"]["bias"] for i in range(field.depth))
     value_full = jnp.broadcast_to(value, (x.shape[0], value.shape[-1]))
-    h = fused_control_trunk(
-        x, value_full, ws, bs,
-        num_freqs=field.multires, interpret=interpret, block=block,
-    )
+    if impl == "xla":
+        h = xla_control_trunk(
+            x, value_full, ws, bs, num_freqs=field.multires
+        )
+    else:
+        h = fused_control_trunk(
+            x, value_full, ws, bs,
+            num_freqs=field.multires, interpret=interpret, block=block,
+        )
     heads = [p[f"TorchLinear_{field.depth + j}"] for j in range(3)]
 
     def head(j):

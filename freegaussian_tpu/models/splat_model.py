@@ -55,15 +55,20 @@ class SplatConfig:
     # rematerialize the deform trunk in backward: the (N, 256) activations are
     # HBM-bound; recomputing beats storing (6.9 -> 5.8 ms at N=100k on v5e)
     deform_remat: bool = True
-    # run the trunk as ONE fused Pallas kernel (ops/mlp_pallas.py): weights
-    # VMEM-resident, per-block remat backward, f32 weight-grad accumulation,
-    # positional embedding computed in-kernel (selection-matrix lanes).
-    # Auto-disabled off-TPU (the interpret-mode kernel is for unit tests).
-    # Measured on v5e at N=100k STANDALONE: fwd+bwd 5.3 ms vs 5.8 ms for the
-    # remat XLA chain, fwd 2.5 vs 4.8 — but inside the full train step the
-    # fused path REGRESSES ~14 ms (stepab A/B, docs/NOTES_ROUND2.md), cause
-    # under investigation. Default stays OFF until the in-step cost is fixed.
-    deform_fused: bool = False
+    # Deform/control trunk implementation on TPU (off-TPU always "flax"):
+    #   "flax"   — the split-linear flax chain (positional_embed in-graph)
+    #   "xla"    — dense selection-matmul embedding + padded bf16 chain:
+    #              kills the lane-padded embed/concat without leaving XLA's
+    #              fusion/layout world
+    #   "pallas" — the fully fused VMEM-resident kernel (ops/mlp_pallas.py):
+    #              wins STANDALONE (5.3 vs 5.8 ms fwd+bwd at N=100k) but its
+    #              custom-call boundary flips XLA layouts in the full step.
+    # Full-step A/B on v5e (tpu_checks stepab, one process): flax 12.18M px/s,
+    # xla 10.88M, pallas 8.06M — in-step, XLA fuses the flax embedding into
+    # the remat backward for free, so the standalone embed win never shows up.
+    # flax stays the default; xla/pallas remain for standalone/serving use
+    # (docs/NOTES_ROUND2.md).
+    deform_impl: str = "flax"
     near_plane: float = 0.01
     far_plane: float = 1e10
     tile_size: int = 16
@@ -101,21 +106,24 @@ def make_control_field(cfg: SplatConfig) -> ControlField:
 
 def make_deform_apply(cfg: SplatConfig, field: DeformField):
     """The deform callable the trainers should pass into `forward`: the flax
-    apply, or (on TPU, when cfg.deform_fused) the fused-Pallas-trunk variant.
-    The returned closure carries `.fused` so `forward` can skip the outer
-    jax.checkpoint (the fused backward already rematerializes per-block in
-    VMEM; an outer remat would just run the forward kernel twice)."""
+    apply, or (on TPU, per cfg.deform_impl) the fused-Pallas or pure-XLA
+    dense-embedding variant. The returned closure carries `.fused` when the
+    backward already rematerializes (Pallas per-block remat) so `forward`
+    can skip the outer jax.checkpoint."""
     import jax as _jax
 
     from .fields import deform_apply_fused
 
     on_tpu = _jax.devices()[0].platform == "tpu"
-    if cfg.deform_fused and cfg.deform_bf16 and on_tpu:
+    impl = cfg.deform_impl if (on_tpu and cfg.deform_bf16) else "flax"
+    if impl in ("pallas", "xla"):
 
         def apply(variables, x, t):
-            return deform_apply_fused(field, variables, x, t)
+            return deform_apply_fused(field, variables, x, t, impl=impl)
 
-        apply.fused = True
+        # the Pallas backward remats per-block in VMEM; the XLA variant wants
+        # the normal outer jax.checkpoint like the flax chain
+        apply.fused = impl == "pallas"
         return apply
     return field.apply
 
@@ -127,12 +135,13 @@ def make_control_apply(cfg: SplatConfig, field: ControlField):
     from .fields import control_apply_fused
 
     on_tpu = _jax.devices()[0].platform == "tpu"
-    if cfg.deform_fused and on_tpu:
+    impl = cfg.deform_impl if on_tpu else "flax"
+    if impl in ("pallas", "xla"):
 
         def apply(variables, x, value):
-            return control_apply_fused(field, variables, x, value)
+            return control_apply_fused(field, variables, x, value, impl=impl)
 
-        apply.fused = True
+        apply.fused = impl == "pallas"
         return apply
     return field.apply
 

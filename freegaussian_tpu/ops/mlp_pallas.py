@@ -323,6 +323,70 @@ def fused_trunk(
     return h[:n].astype(jnp.float32)
 
 
+def xla_deform_trunk(x, t_emb, ws, bs, *, num_freqs=10):
+    """Pure-XLA twin of `fused_deform_trunk`: the NeRF embedding as ONE dense
+    (N, 16) @ (16, 128) f32 matmul + per-lane {id, sin, cos} select (no
+    21-piece lane-padded concat — that cost 5.1 ms at N=100k), then the
+    bf16 trunk chain on the lane-full (N, 128) input with IN_PAD-padded
+    weights. Unlike the Pallas kernel this stays inside XLA's fusion/layout
+    world, so it composes with the surrounding train step without the
+    custom-call layout flips (docs/NOTES_ROUND2.md). Shared-frame t_emb
+    (1, E2) rides a broadcast row added onto its lanes."""
+    n = x.shape[0]
+    e2 = t_emb.shape[-1]
+    S, kind, width = _field_layout(num_freqs, sources=1)
+    ein = width + e2
+    if ws[0].shape != (ein, H) or ws[SKIP_AT + 1].shape != (ein + H, H):
+        raise ValueError("trunk weight shapes do not match embedding layout")
+    trow = jnp.zeros((1, 128), jnp.float32)
+    trow = jax.lax.dynamic_update_slice(
+        trow, t_emb.astype(jnp.float32), (0, width)
+    )
+    xsrc = jnp.concatenate(
+        [x.astype(jnp.float32), jnp.zeros((n, XSRC - 3), jnp.float32)], axis=-1
+    )
+    emb, _ = _embed(xsrc, S, kind, trow)  # (N, 128) f32, lane-full
+    ws_p = _pad_trunk_weights(tuple(w.astype(jnp.bfloat16) for w in ws), ein)
+    h = emb
+    for i in range(DEPTH):
+        if i == 0:
+            z = _mm(emb, ws_p[0])
+        elif i == SKIP_AT + 1:
+            z = _mm(emb, ws_p[i][0:IN_PAD]) + _mm(h, ws_p[i][IN_PAD:])
+        else:
+            z = _mm(h, ws_p[i])
+        h = jax.nn.relu(z + bs[i].astype(jnp.float32)).astype(jnp.bfloat16)
+    return h.astype(jnp.float32)
+
+
+def xla_control_trunk(x, value, ws, bs, *, num_freqs=10):
+    """Pure-XLA twin of `fused_control_trunk`: both embeddings via the dense
+    selection matmul; value is per-point (N, 3) or broadcast (1, 3)."""
+    n = x.shape[0]
+    S, kind, width = _field_layout(num_freqs, sources=2)
+    ein = 2 * width
+    if ws[0].shape != (ein, H) or ws[SKIP_AT + 1].shape != (ein + H, H):
+        raise ValueError("trunk weight shapes do not match embedding layout")
+    value_full = jnp.broadcast_to(value, (n, value.shape[-1]))
+    pad5 = jnp.zeros((n, 8 - 3), jnp.float32)
+    xsrc = jnp.concatenate(
+        [x.astype(jnp.float32), pad5, value_full.astype(jnp.float32), pad5],
+        axis=-1,
+    )
+    emb, _ = _embed(xsrc, S, kind, jnp.zeros((1, 128), jnp.float32))
+    ws_p = _pad_trunk_weights(tuple(w.astype(jnp.bfloat16) for w in ws), ein)
+    h = emb
+    for i in range(DEPTH):
+        if i == 0:
+            z = _mm(emb, ws_p[0])
+        elif i == SKIP_AT + 1:
+            z = _mm(emb, ws_p[i][0:IN_PAD]) + _mm(h, ws_p[i][IN_PAD:])
+        else:
+            z = _mm(h, ws_p[i])
+        h = jax.nn.relu(z + bs[i].astype(jnp.float32)).astype(jnp.bfloat16)
+    return h.astype(jnp.float32)
+
+
 def reference_trunk(x_emb, t_emb, ws, bs):
     """Slow-but-obvious f32 jnp equivalent: the parity oracle for tests."""
     n = x_emb.shape[0]

@@ -173,6 +173,11 @@ def main():
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--capacity", type=int, default=16384)
     ap.add_argument("--report", default="docs/QUALITY_R2.md")
+    ap.add_argument(
+        "--stage2-steps", type=int, default=0,
+        help="after stage 1: cluster -> train the control model this many "
+        "steps -> eval through the control model (0 = stage 1 only)",
+    )
     args = ap.parse_args()
 
     root = Path(args.out)
@@ -260,6 +265,67 @@ def main():
         f"ssim={final['ssim']:.4f} gaussians={final['gaussian_count']}",
         "",
     ]
+    if args.stage2_steps:
+        # ---- stage 2: cluster -> control training -> control eval ----
+        import numpy as _np
+
+        from freegaussian_tpu.engine.control_trainer import ControlTrainer
+        from freegaussian_tpu.preprocess.clustering import (
+            cluster_gaussians, save_gaussian_mask,
+        )
+
+        t.save(int(t.state.step))
+        ckpt = t.out_dir / "checkpoints"
+        print("clustering...", flush=True)
+        key_frames, cams = {}, {}
+        for i, f in enumerate(t.datamanager.frames):
+            if f.atrb_mask is not None:
+                key_frames[i] = f.atrb_mask
+                cams[i] = f.camera
+        mask = cluster_gaussians(
+            t.state.params, t.state.alive, key_frames, cams,
+            deform_apply=t.deform_apply, deform_vars=t.state.deform_vars,
+            dynamic=True,
+        )
+        n_live = int(_np.asarray(t.state.alive).sum())
+        mask_path = root / f"gaussian_mask_{n_live}x{mask.shape[1]}.npy"
+        save_gaussian_mask(mask_path, mask, t.state.alive)
+        frac = float(_np.asarray(mask[:, 1:]).any(-1).mean())
+        print(f"cluster mask: {mask.shape}, articulated frac {frac:.3f}", flush=True)
+
+        cfg2 = dc.replace(
+            cfg,
+            output_dir=str(root / "out2"),
+            max_num_iterations=args.stage2_steps,
+            steps_per_eval_all_images=max(args.stage2_steps // 4, 1),
+            splat=dc.replace(cfg.splat, warm_up=0),
+            densify=dc.replace(cfg.densify, refine_start=10**9),
+        )
+        t2 = ControlTrainer(
+            cfg2, load_deformable_checkpoint=ckpt, gaussian_mask_path=mask_path
+        )
+        t0 = time.time()
+        last2 = t2.train(args.stage2_steps)
+        wall2 = time.time() - t0
+        final2 = t2.eval_all()
+        print("stage-2 train:", last2, f"({wall2:.0f}s)", flush=True)
+        print("stage-2 eval:", final2, flush=True)
+        lines += [
+            "",
+            "## Stage-2 control-model run (same scene)",
+            "",
+            f"Clustering voted {mask.shape[1] - 1} articulated group(s) onto "
+            f"{frac:.1%} of the Gaussians; the control MLP then trained "
+            f"{args.stage2_steps} steps ({args.stage2_steps / wall2:.1f} "
+            "steps/s) from the stage-1 checkpoint (deform frozen, "
+            "mask-blended control state).",
+            "",
+            f"- final train metrics: loss={last2.get('loss', float('nan')):.4f} "
+            f"psnr={last2.get('psnr', float('nan')):.2f}",
+            f"- eval through the CONTROL model: psnr={final2['psnr']:.2f} "
+            f"ssim={final2['ssim']:.4f}",
+        ]
+
     report = Path(args.report)
     report.write_text("\n".join(lines))
     print("wrote", report, flush=True)

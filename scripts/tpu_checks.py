@@ -42,7 +42,10 @@ def log(*a):
 def bench_fn(name, fn, float_args, int_args=(), iters=20):
     def body(carry, _):
         eps = carry * 1e-30
-        args = [a + eps for a in float_args] + list(int_args)
+        args = [
+            jax.tree.map(lambda x: x + eps if jnp.issubdtype(x.dtype, jnp.floating) else x, a)
+            for a in float_args
+        ] + list(int_args)
         out = fn(*args)
         leaves = jax.tree.leaves(out)
         s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
@@ -782,6 +785,59 @@ def run_profile():
     bench_fn("ssim fwd+bwd", lambda a: jax.grad(ssim_loss)(a), [img])
 
 
+def run_adam_micro():
+    """Time the optimizer/statistics tail of the step in isolation: per-group
+    Adam on the lane-padded small params, absgrad stats update, metrics."""
+    from freegaussian_tpu.engine.optimizers import (
+        OptimizersConfig, apply_group_updates, init_opt_states, make_optimizers,
+    )
+    from freegaussian_tpu.engine.train_step import GAUSSIAN_GROUPS
+    from freegaussian_tpu.models.gaussians import init_gaussians
+    from freegaussian_tpu.models.fields import DeformField
+    from freegaussian_tpu.models.densify import DensifyState, update_stats
+
+    n = 100_000
+    rng = np.random.default_rng(0)
+    params, alive = init_gaussians(
+        jax.random.PRNGKey(0), n,
+        seed_points=(rng.normal(size=(n, 3)).astype(np.float32),
+                     rng.uniform(0, 255, (n, 3)).astype(np.float32)),
+        sh_degree=3,
+    )
+    field = DeformField(compute_dtype=jnp.bfloat16)
+    dvars = field.init(jax.random.PRNGKey(1), jnp.zeros((1, 3)), jnp.zeros((1, 1)))
+    optimizers = make_optimizers(OptimizersConfig(max_steps=30000))
+    pbg = {k: params[k] for k in GAUSSIAN_GROUPS}
+    pbg["deform"] = dvars
+    states = init_opt_states(optimizers, pbg)
+    grads = jax.tree.map(lambda a: a * 1e-3, pbg)
+
+    def adam_all(pbg, grads, states):
+        ng, ns = apply_group_updates(optimizers, states, pbg, grads)
+        return jax.tree.leaves(ng)[0]
+
+    bench_fn("adam all groups", adam_all, [pbg, grads, states])
+
+    gauss_only = {k: pbg[k] for k in GAUSSIAN_GROUPS}
+    g2 = {k: grads[k] for k in GAUSSIAN_GROUPS}
+    s2 = {k: states[k] for k in GAUSSIAN_GROUPS}
+
+    def adam_gauss(pbg, grads, states):
+        ng, ns = apply_group_updates(optimizers, states, pbg, grads)
+        return jax.tree.leaves(ng)[0]
+
+    bench_fn("adam gaussian groups", adam_gauss, [gauss_only, g2, s2])
+
+    dstate = DensifyState.create(n)
+    absgrad = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (n, 2)))
+    radii = jnp.ones((n,), jnp.float32) * 4
+
+    def stats(dstate, absgrad):
+        return update_stats(dstate, radii, absgrad, (480, 640)).xys_grad_norm
+
+    bench_fn("absgrad stats update", stats, [dstate, absgrad])
+
+
 def run_stepprof():
     """Profile the FULL bench train step (scan of 5) with flax vs fused
     deform: locates where the fused path's in-step regression lives."""
@@ -813,10 +869,10 @@ def run_stepprof():
     optimizers = make_optimizers(OptimizersConfig(max_steps=30000))
     target = jnp.asarray(rng.uniform(size=(height, width, 3)).astype(np.float32))
 
-    for fused in (False, True):
+    for impl in ("flax", "pallas"):
         cfg = SplatConfig(
             warm_up=0, background_color="black", isect_capacity_factor=3,
-            deform_fused=fused,
+            deform_impl=impl,
         )
         field = make_deform_field(cfg)
         deform_apply = make_deform_apply(cfg, field)
@@ -855,7 +911,7 @@ def run_stepprof():
             return losses
 
         _profile_op_table(
-            f"step_{'fused' if fused else 'flax'}",
+            f"step_{impl}",
             lambda: run(params, dvars, opt_states), [], topk=30,
         )
 
@@ -952,6 +1008,8 @@ def main():
         import bench
 
         bench.main()
+    if "adam" in parts:
+        run_adam_micro()
     if "stepprof" in parts:
         run_stepprof()
     if "stepab" in parts:
@@ -959,8 +1017,9 @@ def main():
         sys.path.insert(0, ".")
         import bench
 
-        bench.main({"deform_fused": False}, label="deform_flax")
-        bench.main({"deform_fused": True}, label="deform_fused")
+        bench.main({"deform_impl": "flax"}, label="deform_flax")
+        bench.main({"deform_impl": "xla"}, label="deform_xla")
+        bench.main({"deform_impl": "pallas"}, label="deform_pallas")
 
 
 if __name__ == "__main__":

@@ -225,3 +225,46 @@ def test_control_apply_fused_matches_flax():
     for a, b in zip(d_fus, d_ref):
         scale = float(jnp.max(jnp.abs(b))) + 1e-3
         assert float(jnp.max(jnp.abs(a - b))) / scale < 3e-2
+
+
+def test_xla_deform_trunk_matches_fused():
+    """The pure-XLA dense-embedding trunk must match the Pallas kernel's
+    numerics class closely (same bf16 matmul chain; only accumulator
+    rounding differs) and the f32 oracle normwise."""
+    from freegaussian_tpu.ops.math import positional_embed
+    from freegaussian_tpu.ops.mlp_pallas import (
+        fused_deform_trunk, reference_trunk, xla_deform_trunk,
+    )
+
+    e1, e2 = 63, 30
+    ws, bs = _make_trunk_params(jax.random.PRNGKey(0), e1 + e2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 3))
+    t_emb = jax.random.normal(jax.random.PRNGKey(2), (1, e2))
+
+    h_xla = xla_deform_trunk(x, t_emb, ws, bs)
+    h_pallas = fused_deform_trunk(x, t_emb, ws, bs, interpret=True)
+    h_ref = reference_trunk(positional_embed(x, 10), t_emb, ws, bs)
+    nerr_pk = float(
+        jnp.linalg.norm(h_xla - h_pallas) / (jnp.linalg.norm(h_pallas) + 1e-9)
+    )
+    nerr_ref = float(
+        jnp.linalg.norm(h_xla - h_ref) / (jnp.linalg.norm(h_ref) + 1e-9)
+    )
+    assert nerr_pk < 2e-2, f"xla-vs-pallas {nerr_pk}"
+    assert nerr_ref < 2e-2, f"xla-vs-oracle {nerr_ref}"
+
+
+def test_xla_control_trunk_matches_reference():
+    from freegaussian_tpu.ops.math import positional_embed
+    from freegaussian_tpu.ops.mlp_pallas import reference_trunk, xla_control_trunk
+
+    e = 63
+    ws, bs = _make_trunk_params(jax.random.PRNGKey(3), 2 * e)
+    x = jax.random.normal(jax.random.PRNGKey(4), (200, 3))
+    value = jax.random.normal(jax.random.PRNGKey(5), (1, 3))
+
+    h_xla = xla_control_trunk(x, value, ws, bs)
+    v_emb = positional_embed(jnp.broadcast_to(value, (200, 3)), 10)
+    h_ref = reference_trunk(positional_embed(x, 10), v_emb, ws, bs)
+    nerr = float(jnp.linalg.norm(h_xla - h_ref) / (jnp.linalg.norm(h_ref) + 1e-9))
+    assert nerr < 2e-2, f"xla-vs-oracle {nerr}"
