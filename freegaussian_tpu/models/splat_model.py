@@ -89,6 +89,10 @@ class SplatConfig:
     chunk: int = 128
     isect_capacity_factor: int = 6
     isect_capacity: Optional[int] = None
+    # Exact opacity-aware binning radius (ops/rasterize.py:tighten_radii):
+    # output-bit-identical, prunes zero-contribution intersections. Off only
+    # for A/B runs.
+    tight_radius: bool = True
 
 
 def make_deform_field(cfg: SplatConfig) -> DeformField:
@@ -320,6 +324,7 @@ def forward(
             if cfg.isect_capacity is not None
             else cfg.isect_capacity_factor * params["means"].shape[0] * shard_factor
         ),
+        tight_radius=cfg.tight_radius,
         gather_axis=primitive_shard_axis,
         tile_origin_y=band_origin_y,
         proj_height=camera.height if band_height is not None else None,

@@ -32,8 +32,37 @@ import jax
 import jax.numpy as jnp
 
 from .projection import project_gaussians
-from .rasterize_ref import rasterize_pixels_reference
+from .rasterize_ref import ALPHA_THRESHOLD, rasterize_pixels_reference
 from .sh import eval_sh_colors
+
+
+def tighten_radii(radii: jax.Array, opacities: jax.Array) -> jax.Array:
+    """Opacity-aware screen radius — EXACT intersection pruning.
+
+    The pixel kernels zero any (pixel, Gaussian) pair with
+    ``alpha = op * exp(-sigma) < ALPHA_THRESHOLD`` (the `vis` test in both
+    `rasterize_ref` and `rasterize_pallas`, mirroring gsplat's skip). Along
+    any screen direction ``sigma >= d^2 / (2 * v1max)`` where v1max is the
+    larger eigenvalue of the blurred 2D covariance and the projection's
+    radius is ``ceil(3 * sqrt(v1max))``. So every pixel farther than
+    ``sqrt(2 * ln(op / thresh)) * sqrt(v1max)`` from the center composites to
+    exactly zero, forward AND backward — and the binning radius can shrink to
+    ``radius * sqrt(2 * ln(op / thresh)) / 3`` without changing one output
+    bit. gsplat's fixed 3-sigma bbox is exact only at op >= e^4.5/255 ~ 0.353;
+    below that (freshly densified / opacity-reset Gaussians live at 0.1-0.2)
+    the excess bbox is pure binning/sort/kernel overhead. The result stays
+    FRACTIONAL (tile_bounds consumes float radii) — ceiling back to ints
+    would erase the win for the common 3-6 px Gaussians. The projection's
+    int radius upper-bounds 3*sqrt(v1max), so the product upper-bounds the
+    true threshold radius. Only the pixel-stage binning sees the tight
+    radius; `info.radii` keeps the gsplat value (densification's
+    max-2D-radius stat parity).
+    """
+    op = jax.lax.stop_gradient(opacities)
+    s2 = 2.0 * jnp.log(jnp.maximum(op, 1e-30) / ALPHA_THRESHOLD)
+    factor = jnp.minimum(jnp.sqrt(jnp.maximum(s2, 0.0)) * (1.0 / 3.0), 1.0)
+    r = radii.astype(jnp.float32) * factor
+    return jnp.where(op > ALPHA_THRESHOLD, r, 0.0)
 
 
 class RasterizeInfo(NamedTuple):
@@ -84,6 +113,7 @@ def rasterization(
     backend: str = "auto",
     chunk: int = 128,
     isect_capacity: int | None = None,
+    tight_radius: bool = True,
     packed: bool = False,
     gather_axis: str | None = None,
     tile_origin_y: jax.Array | int = 0,
@@ -205,6 +235,11 @@ def rasterization(
             [jnp.zeros((), means2d.dtype), jnp.asarray(tile_origin_y, means2d.dtype)]
         )
 
+    # Exact opacity-aware radius for the pixel stage only (see tighten_radii);
+    # both backends receive the SAME tight radii, so backend parity holds by
+    # construction, and the outputs are bit-identical to the 3-sigma radius.
+    radii_pixel = tighten_radii(radii_full, opac) if tight_radius else radii_full
+
     if backend == "reference":
         render, alpha, _ = rasterize_pixels_reference(
             means2d_px,
@@ -212,7 +247,7 @@ def rasterization(
             channels,
             opac,
             depths_full,
-            radii_full,
+            radii_pixel,
             width,
             height,
             tile_size=tile_size,
@@ -222,10 +257,10 @@ def rasterization(
         tiles_w = -(-width // tile_size)
         tiles_h = -(-height // tile_size)
         tnx, tmx, tny, tmy = tile_bounds(
-            jax.lax.stop_gradient(means2d_px), radii_full, tile_size, tiles_w, tiles_h
+            jax.lax.stop_gradient(means2d_px), radii_pixel, tile_size, tiles_w, tiles_h
         )
         num_isects = jnp.sum(
-            jnp.where(radii_full > 0, (tmx - tnx) * (tmy - tny), 0)
+            jnp.where(radii_pixel > 0, (tmx - tnx) * (tmy - tny), 0)
         ).astype(jnp.int32)
     elif backend == "pallas":
         from .rasterize_pallas import rasterize_pixels_pallas
@@ -236,7 +271,7 @@ def rasterization(
             channels,
             opac,
             depths_full,
-            radii_full,
+            radii_pixel,
             width,
             height,
             tile_size=tile_size,

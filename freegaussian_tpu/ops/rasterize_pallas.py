@@ -118,6 +118,13 @@ class _Cfg:
 # A/B runs (scripts/tpu_checks.py profile).
 SCAN_IMPL = "mxu"
 
+# MXU precision for the triangular scan matmuls only (the color/gradient
+# contractions stay HIGHEST — they set output pixels directly). HIGHEST is
+# a 6-pass bf16 decomposition; HIGH is 3-pass (~f32-accurate for the
+# [-6.9, 0] log-transmittance range). Switchable for hardware A/B +
+# on-chip parity (tpu_checks xinterp) before any default change.
+SCAN_PRECISION = jax.lax.Precision.HIGHEST
+
 # Segment-level early-out when every pixel of a tile has terminated. Saves
 # the whole kernel body on deep sorted runs (real scenes after densification),
 # and is numerically exact (CPU parity tests cover it) — but wrapping the
@@ -174,7 +181,7 @@ def _cumsum_lanes(x: jax.Array) -> jax.Array:
         _prefix_matrix(k),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=SCAN_PRECISION,
     )
 
 
@@ -209,7 +216,7 @@ def _transmittance(one_minus: jax.Array, T: jax.Array, alive: jax.Array):
                 _prefix_matrix_excl(k),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=SCAN_PRECISION,
             )
         )
     excl_T = T * excl

@@ -1020,6 +1020,20 @@ def main():
         bench.main({"deform_impl": "flax"}, label="deform_flax")
         bench.main({"deform_impl": "xla"}, label="deform_xla")
         bench.main({"deform_impl": "pallas"}, label="deform_pallas")
+    if "r2ab" in parts:
+        # round-2 late A/B batch: opacity-tight binning radius (exact) and
+        # HIGH-precision scan matmuls; hardware parity at HIGH via xinterp.
+        sys.path.insert(0, ".")
+        import bench
+        from freegaussian_tpu.ops import rasterize_pallas as rp
+
+        run_xinterp()  # baseline hardware parity at HIGHEST
+        bench.main({"tight_radius": False}, label="tight_off")
+        bench.main({}, label="tight_on")
+        rp.SCAN_PRECISION = jax.lax.Precision.HIGH
+        bench.main({}, label="tight_on_scan_high")
+        run_xinterp()  # hardware parity with HIGH scans
+        run_adam_micro()
 
 
 if __name__ == "__main__":

@@ -302,3 +302,44 @@ def test_packed_mode_outputs():
         64, 48, sh_degree=3, render_mode="ED", backend="reference",
     )
     assert ni == int(info2.num_isects)
+
+
+def test_tight_radius_is_exact():
+    """tighten_radii prunes intersections without changing one output value:
+    every dropped (pixel, Gaussian) pair is below ALPHA_THRESHOLD and already
+    zeroed by the kernels' vis test (ops/rasterize.py:tighten_radii)."""
+    import numpy as np
+
+    from freegaussian_tpu.ops.rasterize import rasterization, tighten_radii
+
+    rng = np.random.default_rng(7)
+    n = 300
+    means = jnp.asarray(rng.normal(scale=0.6, size=(n, 3)), jnp.float32)
+    quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    scales = jnp.asarray(np.exp(rng.normal(scale=0.5, size=(n, 3)) - 3.2), jnp.float32)
+    # opacity spread across the regimes: below threshold, low, mid, high
+    ops = jnp.asarray(rng.uniform(0.001, 0.95, size=(n,)), jnp.float32)
+    colors = jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32)
+    viewmat = jnp.eye(4).at[2, 3].set(4.0)
+    K = jnp.asarray([[80.0, 0, 32], [0, 80.0, 32], [0, 0, 1]])
+
+    outs = {}
+    for tight in (False, True):
+        render, alpha, info = rasterization(
+            means, quats, scales, ops, colors, viewmat[None], K[None], 64, 64,
+            backend="reference", tight_radius=tight,
+        )
+        outs[tight] = (render, alpha, int(info.num_isects))
+    r0, a0, n0 = outs[False]
+    r1, a1, n1 = outs[True]
+    assert n1 < n0, f"tight radius pruned nothing ({n0} -> {n1})"
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), atol=1e-6)
+    # sub-threshold opacity -> radius exactly zero; high opacity -> unchanged
+    radii = jnp.asarray(rng.integers(1, 30, size=(n,)), jnp.int32)
+    rt = tighten_radii(radii, ops)
+    assert float(jnp.max(jnp.where(ops <= 1.0 / 255.0, rt, 0.0))) == 0.0
+    hi = ops >= 0.36
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(hi, rt, 0)), np.asarray(jnp.where(hi, radii.astype(jnp.float32), 0))
+    )
