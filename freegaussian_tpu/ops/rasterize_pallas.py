@@ -133,6 +133,16 @@ SCAN_PRECISION = jax.lax.Precision.HIGHEST
 # compile cost is fixed. Flip to True to A/B on hardware.
 EARLY_OUT = False
 
+# TABLE-driven backward early-out (the shippable form of the same win): the
+# forward emits per-pixel live-slot counts (transmittance is monotone, so the
+# count IS the pixel's termination cutoff); the backward's scalar-prefetched
+# segment tables are then recomputed in XLA so segments past every pixel's
+# cutoff are marked dead — the ordinary `seg_live` gate skips them, which
+# Mosaic compiles fine (no data-dependent predicate inside the kernel).
+# Chunks no live segment touches are zeroed after the kernel (their true
+# gradients are zero by construction). Exact; parity-tested on CPU.
+BWD_EARLY_OUT = True
+
 
 def _prefix_matrix(k: int) -> jax.Array:
     """(K, K) matrix M with M[i, j] = 1 for i <= j: x @ M = inclusive cumsum."""
@@ -242,6 +252,22 @@ def _pixel_coords(cfg: _Cfg, tile):
     return px, py
 
 
+def _pixel_features(ts: int) -> jax.Array:
+    """(8, P) tile-LOCAL pixel moment features [1, px, py, px^2, px*py, py^2]
+    (rows 6-7 zero padding). Local coords keep the binomial expansion of
+    sum_p dsigma * dx^n well-conditioned (terms ~ dx magnitude, not ~ the
+    global pixel coordinate)."""
+    P = ts * ts
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (pix % ts).astype(jnp.float32) + 0.5
+    py = (pix // ts).astype(jnp.float32) + 0.5
+    one = jnp.ones((1, P), jnp.float32)
+    return jnp.concatenate(
+        [one, px, py, px * px, px * py, py * py, jnp.zeros((2, P), jnp.float32)],
+        axis=0,
+    )
+
+
 def _alphas(cfg: _Cfg, data, px, py):
     """Shared alpha math for a (D, K) chunk against (P, 1) pixel coords."""
     C = cfg.channels
@@ -262,7 +288,7 @@ def _alphas(cfg: _Cfg, data, px, py):
     vis = (sigma >= 0) & (alpha >= ALPHA_THRESHOLD)
     a_eff = jnp.where(vis, alpha, 0.0)
     return dict(
-        dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, op=op, cols=cols,
+        dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, op=op, cols=cols, gx=gx, gy=gy,
         sigma=sigma, evis=evis, raw_alpha=raw_alpha, alpha=alpha,
         vis=vis, a_eff=a_eff,
     )
@@ -273,12 +299,17 @@ def _alphas(cfg: _Cfg, data, px, py):
 # -----------------------------------------------------------------------------
 
 
-def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_ref, color_ref, alpha_ref, state):
+def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_ref, color_ref, alpha_ref, livecnt_ref, state):
     """state scratch: (P, 2) = [T, alive]; persists across the segment grid.
 
     flags bit0 = first segment of tile (init outputs), bit1 = live (has real
     slots). Boundary chunks are shared between consecutive tiles' segments;
-    [lo, hi) masks this tile's slots within the chunk."""
+    [lo, hi) masks this tile's slots within the chunk.
+
+    livecnt: per-pixel count of this tile's slots still live — transmittance
+    is monotone, so the count is exactly the pixel's termination cutoff in
+    the tile's sorted run; the backward uses max-over-pixels to skip
+    post-termination segments (BWD_EARLY_OUT)."""
     P = cfg.tile_size * cfg.tile_size
     K = cfg.chunk
     s = pl.program_id(0)
@@ -288,6 +319,7 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
     def _():
         color_ref[0] = jnp.zeros_like(color_ref[0])
         alpha_ref[0] = jnp.zeros_like(alpha_ref[0])
+        livecnt_ref[0] = jnp.zeros_like(livecnt_ref[0])
         state[...] = jnp.ones((P, 2), jnp.float32)
 
     # Segment-level early out: once every pixel of the tile has terminated,
@@ -316,6 +348,9 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
             precision=jax.lax.Precision.HIGHEST,
         )
         alpha_ref[0] += jnp.sum(w, axis=1, keepdims=True)
+        livecnt_ref[0] += jnp.sum(
+            jnp.where(in_range, live, 0.0), axis=1, keepdims=True
+        )
 
         # Mosaic has no reduce_prod; reuse log(one_minus) from _transmittance.
         T_new = _t_new(T, live, log_om)
@@ -422,24 +457,41 @@ def _bwd_segment_body(
     da = (excl_T * b - r_after / one_minus) * comp
     uncapped = (v["raw_alpha"] <= MAX_ALPHA).astype(jnp.float32)
     dsigma = -v["alpha"] * da * uncapped
-    dx, dy, ca, cb, cc = v["dx"], v["dy"], v["ca"], v["cb"], v["cc"]
-    dmx = dsigma * (ca * dx + cb * dy)
-    dmy = dsigma * (cb * dx + cc * dy)
-    dca = 0.5 * dx * dx * dsigma
-    dcb = dx * dy * dsigma
-    dcc = 0.5 * dy * dy * dsigma
-    dop = v["evis"] * da * uncapped
+    ca, cb, cc = v["ca"], v["cb"], v["cc"]
 
-    row_dmx = jnp.sum(dmx, axis=0, keepdims=True)
-    row_dmy = jnp.sum(dmy, axis=0, keepdims=True)
+    # Per-Gaussian row gradients via PIXEL MOMENTS: dx = gx - px is separable,
+    # so every row sum  sum_p dsigma * poly(dx, dy)  is a lane-wise combination
+    # of the six moments  sum_p [1, px, py, px^2, px py, py^2] * dsigma  — one
+    # (8, P) @ (P, K) MXU matmul replaces six (P, K) product passes plus six
+    # (P, K) -> (1, K) reductions on the VPU. dop rides M0 exactly:
+    # dop = evis * da * uncapped = -dsigma / op. Tile-LOCAL coordinates keep
+    # the binomial expansions conditioned (see _pixel_features).
+    ts = cfg.tile_size
+    tile = tile_ref[s]
+    gxl = v["gx"] - (tile % cfg.tiles_w * ts).astype(jnp.float32)  # (1, K)
+    gyl = v["gy"] - (tile // cfg.tiles_w * ts).astype(jnp.float32)
+    mom = jax.lax.dot_general(
+        _pixel_features(ts), dsigma, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (8, K)
+    m0, mx, my, mxx, mxy, myy = (mom[i : i + 1, :] for i in range(6))
+    sx = gxl * m0 - mx  # sum_p dsigma * dx
+    sy = gyl * m0 - my
+    sxx = gxl * gxl * m0 - 2.0 * gxl * mx + mxx
+    sxy = gxl * gyl * m0 - gxl * my - gyl * mx + mxy
+    syy = gyl * gyl * m0 - 2.0 * gyl * my + myy
+    row_dmx = ca * sx + cb * sy
+    row_dmy = cb * sx + cc * sy
+    op = v["op"]
     rows_small = jnp.concatenate(
         [
             row_dmx,
             row_dmy,
-            jnp.sum(dca, axis=0, keepdims=True),
-            jnp.sum(dcb, axis=0, keepdims=True),
-            jnp.sum(dcc, axis=0, keepdims=True),
-            jnp.sum(dop, axis=0, keepdims=True),
+            0.5 * sxx,
+            sxy,
+            0.5 * syy,
+            jnp.where(op > 0, -m0 / jnp.where(op > 0, op, 1.0), 0.0),
         ],
         axis=0,
     )  # (6, K)
@@ -488,14 +540,16 @@ def _run_fwd(cfg: _Cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, 
         out_specs=[
             pl.BlockSpec((1, cfg.channels, P), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
             pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((P, 2), jnp.float32)],
     )
-    color, alpha = pl.pallas_call(
+    color, alpha, livecnt = pl.pallas_call(
         functools.partial(_fwd_kernel, cfg),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles + 1, cfg.channels, P), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles + 1, P, 1), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles + 1, P, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -503,7 +557,7 @@ def _run_fwd(cfg: _Cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, 
         ),
         interpret=cfg.interpret,
     )(seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, packed)
-    return color, alpha
+    return color, alpha, livecnt
 
 
 def _run_bwd(
@@ -542,19 +596,49 @@ def _run_bwd(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _rasterize_tiles(cfg, num_seg_cap, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi):
-    color, alpha = _run_fwd(cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap)
+def _rasterize_tiles(cfg, num_seg_cap, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts):
+    color, alpha, _ = _run_fwd(cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap)
     return color, alpha
 
 
-def _rasterize_tiles_fwd(cfg, num_seg_cap, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi):
-    color, alpha = _run_fwd(cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap)
-    res = (packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, color, alpha)
+def _rasterize_tiles_fwd(cfg, num_seg_cap, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts):
+    color, alpha, livecnt = _run_fwd(cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap)
+    res = (packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts, color, alpha, livecnt)
     return (color, alpha), res
 
 
+def _bwd_tables_early_out(cfg, seg_tile, seg_flags, seg_chunk, seg_lo, tile_starts, livecnt):
+    """Recompute the backward's segment tables so segments past every pixel's
+    termination cutoff are dead (BWD_EARLY_OUT). The forward's livecnt gives
+    per-tile needed depth nl = max over pixels of the live-slot count; a
+    segment whose slot range starts at/after tile_start + nl has zero
+    gradient for every slot and is skipped by the ordinary seg_live gate.
+    Returns (flags_bwd, chunk_bwd, visited) with visited the per-chunk
+    touched-by-a-live-segment mask (untouched chunk outputs are zeroed by
+    the caller — their true gradients are identically zero)."""
+    nl = jnp.max(livecnt[:, :, 0], axis=1).astype(jnp.int32)  # (T + 1,)
+    cutoff = tile_starts[seg_tile] + nl[seg_tile]
+    live = ((seg_flags >> 1) & 1 == 1) & (seg_lo < cutoff)
+    # Newly-dead segments must not open an unwritten output window (Mosaic
+    # flushes on window change without tracking writes): repeat the previous
+    # live segment's chunk, as tiles.py does for originally-dead segments.
+    live_chunk = jax.lax.cummax(jnp.where(live, seg_chunk, -1), axis=0)
+    chunk_bwd = jnp.maximum(live_chunk, 0).astype(jnp.int32)
+    # First LIVE toucher of each chunk writes; later consecutive live
+    # touchers accumulate. Chunks are monotone non-decreasing over live
+    # segments, so "differs from the previous live segment's chunk" is exact.
+    prev_live_chunk = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), live_chunk[:-1]]
+    )
+    chunk_first = live & (seg_chunk != prev_live_chunk)
+    flags_bwd = (
+        (seg_flags & 1) + 2 * live.astype(jnp.int32) + 4 * chunk_first.astype(jnp.int32)
+    )
+    return flags_bwd, chunk_bwd, live
+
+
 def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
-    packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, color, alpha = res
+    packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts, color, alpha, livecnt = res
     g_color, g_alpha = cots
     r_total = (
         jnp.einsum(
@@ -562,19 +646,37 @@ def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
         )[..., None]
         + alpha * g_alpha
     )
+    flags_bwd, chunk_bwd = seg_flags, seg_chunk
+    visited = None
+    if BWD_EARLY_OUT:
+        flags_bwd, chunk_bwd, live = _bwd_tables_early_out(
+            cfg, seg_tile, seg_flags, seg_chunk, seg_lo, tile_starts, livecnt
+        )
+        n_chunks = packed.shape[1] // cfg.chunk
+        visited = (
+            jnp.zeros((n_chunks,), jnp.float32)
+            .at[jnp.where(live, chunk_bwd, n_chunks)]
+            .max(1.0, mode="drop")
+        )
     # d_all rows 6:8 carry the per-intersection |d means2d| (absgrad): the
     # outer `_gather_rows` VJP segment-sums ALL rows per Gaussian, and the
     # packed-layout concat routes rows 6:8 to `means2d_sink`'s cotangent —
     # the absgrad reduction rides the one sort-based reduction for free
     # (a separate jax.ops.segment_sum here cost ~1.5 ms of scatter).
     d_packed = _run_bwd(
-        cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap,
+        cfg, packed, seg_tile, flags_bwd, chunk_bwd, seg_lo, seg_hi, num_seg_cap,
         g_color, g_alpha, r_total,
     )
+    if visited is not None:
+        d_rows, cap = d_packed.shape
+        n_chunks = cap // cfg.chunk
+        d_packed = (
+            d_packed.reshape(d_rows, n_chunks, cfg.chunk) * visited[None, :, None]
+        ).reshape(d_rows, cap)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     return (
         d_packed, f0(seg_tile), f0(seg_flags), f0(seg_chunk), f0(seg_lo),
-        f0(seg_hi),
+        f0(seg_hi), f0(tile_starts),
     )
 
 
@@ -679,6 +781,7 @@ def rasterize_pixels_pallas(
         isect.seg_chunk,
         isect.seg_lo,
         isect.seg_hi,
+        isect.tile_offsets,
     )
     color_tiles = color_tiles[:num_tiles]
     alpha_tiles = alpha_tiles[:num_tiles]

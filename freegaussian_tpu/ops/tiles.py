@@ -127,6 +127,7 @@ class SegmentedIntersections(NamedTuple):
     """
 
     gauss_ids: jax.Array  # (capacity,) sorted by (tile, depth); N = padding
+    tile_offsets: jax.Array  # (num_tiles + 1,) per-tile ranges in the sorted array
     seg_tile: jax.Array  # (S,) tile per segment; num_tiles = dummy
     seg_first: jax.Array  # (S,) 1 if first segment of its tile (init outputs)
     seg_live: jax.Array  # (S,) 1 if the segment covers real slots
@@ -198,6 +199,7 @@ def build_intersections_segments(
 
     return SegmentedIntersections(
         gauss_ids=base.gauss_ids,
+        tile_offsets=base.tile_offsets,
         seg_tile=jnp.where(in_use, seg_tile, num_tiles).astype(jnp.int32),
         seg_first=jnp.where(in_use, (within == 0), False).astype(jnp.int32),
         seg_live=live.astype(jnp.int32),

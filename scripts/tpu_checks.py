@@ -1034,6 +1034,31 @@ def main():
         bench.main({}, label="tight_on_scan_high")
         run_xinterp()  # hardware parity with HIGH scans
         run_adam_micro()
+    if "r2ab2" in parts:
+        # moment-backward + table-driven bwd early-out batch: hardware parity
+        # FIRST (interpret mode cannot catch Mosaic window-flush bugs), then
+        # in-process step A/Bs. SCAN_PRECISION mutation mid-process hit a JAX
+        # lowering-cache KeyError — scan-precision A/B runs as its own part.
+        sys.path.insert(0, ".")
+        import bench
+        from freegaussian_tpu.ops import rasterize_pallas as rp
+
+        run_xinterp()  # new bwd path on hardware
+        bench.main({}, label="moments_eo_tight")
+        bench.main({"tight_radius": False}, label="moments_eo_notight")
+        run_adam_micro()
+        # module-flag mutation last: a mid-process retrace after this kind of
+        # mutation hit a JAX lowering-cache KeyError once (r2ab scan flip)
+        rp.BWD_EARLY_OUT = False
+        bench.main({}, label="moments_noeo")
+    if "scanhigh" in parts:
+        sys.path.insert(0, ".")
+        import bench
+        from freegaussian_tpu.ops import rasterize_pallas as rp
+
+        rp.SCAN_PRECISION = jax.lax.Precision.HIGH
+        run_xinterp()
+        bench.main({}, label="scan_high")
 
 
 if __name__ == "__main__":

@@ -165,3 +165,61 @@ def test_absgrad_matches_per_tile_oracle():
     np.testing.assert_allclose(np.asarray(g_sink), expected, rtol=1e-3, atol=1e-4)
     # absgrad dominates the signed gradient elementwise
     assert np.all(np.asarray(g_sink) >= np.abs(np.asarray(g_m)) - 1e-5)
+
+
+def test_bwd_early_out_shared_chunk_writer_handoff():
+    """BWD_EARLY_OUT: tile A owns the first slots of a boundary chunk but has
+    terminated before reaching it (its segment over that chunk is dead in the
+    backward); tile B shares the chunk and is live — B must become the
+    chunk's writer (not accumulate into an unwritten window), and A's dead
+    slots must come back as exact zeros through the reduction."""
+    import numpy as np
+
+    from freegaussian_tpu.ops import rasterize_pallas as rp
+    from freegaussian_tpu.ops.rasterize_ref import rasterize_pixels_reference
+
+    width, height, ts = 32, 16, 16  # two tiles side by side
+    na, nb = 200, 40  # A: deep opaque stack -> terminates after ~5 slots
+    key = jax.random.PRNGKey(11)
+    ka, kb, kc, kd = jax.random.split(key, 4)
+    # tile A centers in [0, 16), tile B centers in [16, 32)
+    ma = jnp.stack(
+        [jax.random.uniform(ka, (na,)) * 12 + 2,
+         jax.random.uniform(kb, (na,)) * 12 + 2], axis=-1
+    )
+    mb = jnp.stack(
+        [jax.random.uniform(kc, (nb,)) * 12 + 18,
+         jax.random.uniform(kd, (nb,)) * 12 + 2], axis=-1
+    )
+    means2d = jnp.concatenate([ma, mb], axis=0)
+    n = na + nb
+    conics = jnp.tile(jnp.asarray([[0.3, 0.0, 0.3]]), (n, 1))
+    colors = jax.random.uniform(jax.random.PRNGKey(5), (n, 3))
+    opacities = jnp.concatenate(
+        [jnp.full((na,), 0.995), jnp.full((nb,), 0.4)]
+    )
+    depths = jnp.arange(n, dtype=jnp.float32) + 1.0
+    radii = jnp.full((n,), 5, jnp.int32)
+    target = jax.random.uniform(jax.random.PRNGKey(6), (height, width, 3))
+
+    assert rp.BWD_EARLY_OUT  # default-on path under test
+
+    def loss_pal(m, c, col, op):
+        r, a, _ = rp.rasterize_pixels_pallas(
+            m, c, col, op, depths, radii, width, height,
+            capacity=512, chunk=128, interpret=True,
+        )
+        return jnp.sum((r - target) ** 2) + 0.2 * jnp.sum(a)
+
+    def loss_ref(m, c, col, op):
+        r, a, _ = rasterize_pixels_reference(
+            m, c, col, op, depths, radii, width, height, tile_size=ts
+        )
+        return jnp.sum((r - target) ** 2) + 0.2 * jnp.sum(a)
+
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(means2d, conics, colors, opacities)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(means2d, conics, colors, opacities)
+    for name, a, b in zip(["means2d", "conics", "colors", "opac"], g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4, err_msg=name
+        )
