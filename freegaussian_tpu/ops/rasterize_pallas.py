@@ -141,7 +141,15 @@ EARLY_OUT = False
 # Mosaic compiles fine (no data-dependent predicate inside the kernel).
 # Chunks no live segment touches are zeroed after the kernel (their true
 # gradients are zero by construction). Exact; parity-tested on CPU.
+# Measured +4% step on the bench scene (op=0.1 diffuse cloud: pixels rarely
+# terminate, so the max-over-pixels cutoff stays deep); opaque trained
+# scenes are the real payoff.
 BWD_EARLY_OUT = True
+
+# Backward row-gradient moment contraction: "vpu" (broadcast products +
+# sublane reductions) or "mxu" (one skinny (8,P)@(P,K) matmul — measured
+# SLOWER on v5e, kept for A/B).
+MOMENTS_IMPL = "vpu"
 
 
 def _prefix_matrix(k: int) -> jax.Array:
@@ -461,21 +469,39 @@ def _bwd_segment_body(
 
     # Per-Gaussian row gradients via PIXEL MOMENTS: dx = gx - px is separable,
     # so every row sum  sum_p dsigma * poly(dx, dy)  is a lane-wise combination
-    # of the six moments  sum_p [1, px, py, px^2, px py, py^2] * dsigma  — one
-    # (8, P) @ (P, K) MXU matmul replaces six (P, K) product passes plus six
-    # (P, K) -> (1, K) reductions on the VPU. dop rides M0 exactly:
-    # dop = evis * da * uncapped = -dsigma / op. Tile-LOCAL coordinates keep
-    # the binomial expansions conditioned (see _pixel_features).
+    # of the six moments  sum_p [1, px, py, px^2, px py, py^2] * dsigma.
+    # dop rides M0 exactly: dop = evis * da * uncapped = -dsigma / op.
+    # Tile-LOCAL coordinates keep the binomial expansions conditioned (see
+    # _pixel_features). Moment impl measured on v5e: the (8, P) @ (P, K)
+    # HIGHEST matmul is a 6%-M-utilization skinny matmul (~1536 MXU cycles vs
+    # ~576 VPU cycles) and LOST 1.1M pixels/s in-step — the VPU form (five
+    # (P, K) broadcast-products + six sublane reductions, still fewer passes
+    # than the pre-moment twelve-product form) is the default.
     ts = cfg.tile_size
     tile = tile_ref[s]
     gxl = v["gx"] - (tile % cfg.tiles_w * ts).astype(jnp.float32)  # (1, K)
     gyl = v["gy"] - (tile // cfg.tiles_w * ts).astype(jnp.float32)
-    mom = jax.lax.dot_general(
-        _pixel_features(ts), dsigma, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (8, K)
-    m0, mx, my, mxx, mxy, myy = (mom[i : i + 1, :] for i in range(6))
+    if MOMENTS_IMPL == "mxu":
+        mom = jax.lax.dot_general(
+            _pixel_features(ts), dsigma, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (8, K)
+        m0, mx, my, mxx, mxy, myy = (mom[i : i + 1, :] for i in range(6))
+    else:
+        P = cfg.tile_size * cfg.tile_size
+        pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        pxl = (pix % ts).astype(jnp.float32) + 0.5  # (P, 1) tile-local
+        pyl = (pix // ts).astype(jnp.float32) + 0.5
+        sd = lambda x: jnp.sum(x, axis=0, keepdims=True)  # (P, K) -> (1, K)
+        m0 = sd(dsigma)
+        dsx = pxl * dsigma
+        dsy = pyl * dsigma
+        mx = sd(dsx)
+        my = sd(dsy)
+        mxx = sd(pxl * dsx)
+        mxy = sd(pyl * dsx)
+        myy = sd(pyl * dsy)
     sx = gxl * m0 - mx  # sum_p dsigma * dx
     sy = gyl * m0 - my
     sxx = gxl * gxl * m0 - 2.0 * gxl * mx + mxx

@@ -828,6 +828,20 @@ def run_adam_micro():
 
     bench_fn("adam gaussian groups", adam_gauss, [gauss_only, g2, s2])
 
+    def adam_gauss_flat(pbg, grads, states):
+        # lane-padding probe: run the same updates on 1D-flattened leaves.
+        # (N, k) f32 arrays store lane-padded k -> 128 on TPU; if the Adam
+        # tail is padding-bound this should be ~k/128 cheaper.
+        flat = lambda t: jax.tree.map(
+            lambda a: a.reshape(-1) if getattr(a, "ndim", 0) >= 2 else a, t
+        )
+        ng, ns = apply_group_updates(
+            optimizers, flat(states), flat(pbg), flat(grads)
+        )
+        return jax.tree.leaves(ng)[0]
+
+    bench_fn("adam gaussian groups FLAT", adam_gauss_flat, [gauss_only, g2, s2])
+
     dstate = DensifyState.create(n)
     absgrad = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (n, 2)))
     radii = jnp.ones((n,), jnp.float32) * 4
@@ -869,10 +883,13 @@ def run_stepprof():
     optimizers = make_optimizers(OptimizersConfig(max_steps=30000))
     target = jnp.asarray(rng.uniform(size=(height, width, 3)).astype(np.float32))
 
-    for impl in ("flax", "pallas"):
+    variants = getattr(run_stepprof, "variants", None) or [
+        ("flax", {}), ("pallas", {"deform_impl": "pallas"})
+    ]
+    for label, overrides in variants:
         cfg = SplatConfig(
             warm_up=0, background_color="black", isect_capacity_factor=3,
-            deform_impl=impl,
+            **overrides,
         )
         field = make_deform_field(cfg)
         deform_apply = make_deform_apply(cfg, field)
@@ -911,7 +928,7 @@ def run_stepprof():
             return losses
 
         _profile_op_table(
-            f"step_{impl}",
+            f"step_{label}",
             lambda: run(params, dvars, opt_states), [], topk=30,
         )
 
@@ -1051,6 +1068,19 @@ def main():
         # mutation hit a JAX lowering-cache KeyError once (r2ab scan flip)
         rp.BWD_EARLY_OUT = False
         bench.main({}, label="moments_noeo")
+    if "r2ab3" in parts:
+        # vpu-moment backward + flat-adam probe + tight-radius localization
+        sys.path.insert(0, ".")
+        import bench
+
+        run_xinterp()  # vpu-moment parity on hardware
+        bench.main({}, label="vpum_eo_tight")
+        bench.main({"tight_radius": False}, label="vpum_eo_notight")
+        run_adam_micro()
+        run_stepprof.variants = [
+            ("tight", {}), ("notight", {"tight_radius": False})
+        ]
+        run_stepprof()
     if "scanhigh" in parts:
         sys.path.insert(0, ".")
         import bench
