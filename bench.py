@@ -55,8 +55,25 @@ def main(cfg_overrides=None, label=None):
         jax.random.PRNGKey(0), capacity, seed_points=(seed_xyz, seed_rgb), sh_degree=3
     )
     # Trained-scene operating point: ~4 px screen radius (the kNN init on a
-    # random cloud gives ~20 px blobs, an unrealistically dense overlap).
+    # random cloud gives ~20 px blobs, an unrealistically dense overlap), and
+    # a trained-like opacity mixture — init_gaussians' logit(0.1) is the
+    # UNTRAINED init, where pixels never saturate; steady-state 3DGS scenes
+    # are bimodal (opaque surface + a near-cull tail), which is what the
+    # termination-dependent kernel paths (early-out, tight radius) see in
+    # the reference workload. Mixture: 50% in [0.55, 0.99] (surface), 30% in
+    # [0.1, 0.55], 20% in [0.02, 0.1] (near cull_alpha_thresh = 0.005-0.1).
     params["scales"] = jnp.full_like(params["scales"], jnp.log(0.015))
+    u = rng.uniform(size=n_gauss).astype(np.float32)
+    op = np.where(
+        u < 0.5,
+        rng.uniform(0.55, 0.99, n_gauss),
+        np.where(
+            u < 0.8,
+            rng.uniform(0.1, 0.55, n_gauss),
+            rng.uniform(0.02, 0.1, n_gauss),
+        ),
+    ).astype(np.float32)
+    params["opacities"] = jnp.asarray(np.log(op / (1.0 - op)))[:, None]  # logit (N, 1)
     # capacity factor 3 mirrors the trainer's steady state (it sizes the
     # intersection pipeline off live counts and grows at 85% occupancy); the
     # bench scene holds ~260k intersections against the 300k cap.
