@@ -151,6 +151,16 @@ BWD_EARLY_OUT = True
 # SLOWER on v5e, kept for A/B).
 MOMENTS_IMPL = "vpu"
 
+# Forward segment early-out via an SMEM scalar: the all-pixels-terminated
+# predicate is REDUCED AT THE END of the previous segment's body and stored
+# to SMEM scratch; the next segment branches on the stored scalar — the same
+# cheap scalar-branch structure as the prefetched flags, avoiding the
+# in-predicate vector reduce that blew the Mosaic compile (EARLY_OUT above).
+# Exact: a skipped segment has live == 0 for every pixel, so color/alpha/
+# livecnt would all accumulate zero. OFF until compile time is measured on
+# the remote toolchain.
+FWD_EARLY_OUT = False
+
 
 def _prefix_matrix(k: int) -> jax.Array:
     """(K, K) matrix M with M[i, j] = 1 for i <= j: x @ M = inclusive cumsum."""
@@ -307,7 +317,7 @@ def _alphas(cfg: _Cfg, data, px, py):
 # -----------------------------------------------------------------------------
 
 
-def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_ref, color_ref, alpha_ref, livecnt_ref, state):
+def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_ref, color_ref, alpha_ref, livecnt_ref, *scratch):
     """state scratch: (P, 2) = [T, alive]; persists across the segment grid.
 
     flags bit0 = first segment of tile (init outputs), bit1 = live (has real
@@ -322,6 +332,9 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
     K = cfg.chunk
     s = pl.program_id(0)
     flags = flags_ref[s]
+    state = scratch[0]
+    if FWD_EARLY_OUT:
+        alive_smem = scratch[1]
 
     @pl.when(flags & 1 == 1)
     def _():
@@ -329,11 +342,21 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
         alpha_ref[0] = jnp.zeros_like(alpha_ref[0])
         livecnt_ref[0] = jnp.zeros_like(livecnt_ref[0])
         state[...] = jnp.ones((P, 2), jnp.float32)
+        if FWD_EARLY_OUT:
+            alive_smem[0] = 1
 
     # Segment-level early out: once every pixel of the tile has terminated,
     # the remaining (possibly deep) tail of its sorted run contributes
     # nothing — skip the whole alpha/compositing body, not just mask lanes.
-    any_alive = (jnp.max(state[:, 1]) > 0.0) if EARLY_OUT else True
+    # FWD_EARLY_OUT branches on the SMEM scalar STORED at the end of the
+    # previous segment (same scalar-branch class as the flags); EARLY_OUT is
+    # the legacy in-predicate vector reduce (Mosaic compile blowup).
+    if FWD_EARLY_OUT:
+        any_alive = alive_smem[0] == 1
+    elif EARLY_OUT:
+        any_alive = jnp.max(state[:, 1]) > 0.0
+    else:
+        any_alive = True
 
     @pl.when(((flags >> 1) & 1 == 1) & any_alive)
     def _():
@@ -364,6 +387,8 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
         T_new = _t_new(T, live, log_om)
         alive_new = alive * (incl_T[:, -1:] > TRANSMITTANCE_EPS).astype(jnp.float32)
         state[...] = jnp.concatenate([T_new, alive_new], axis=1)
+        if FWD_EARLY_OUT:
+            alive_smem[0] = (jnp.max(alive_new) > 0.0).astype(jnp.int32)
 
 
 # -----------------------------------------------------------------------------
@@ -568,7 +593,8 @@ def _run_fwd(cfg: _Cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, 
             pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
             pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((P, 2), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((P, 2), jnp.float32)]
+        + ([pltpu.SMEM((1,), jnp.int32)] if FWD_EARLY_OUT else []),
     )
     color, alpha, livecnt = pl.pallas_call(
         functools.partial(_fwd_kernel, cfg),

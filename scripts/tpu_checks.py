@@ -1081,6 +1081,20 @@ def main():
             ("tight", {}), ("notight", {"tight_radius": False})
         ]
         run_stepprof()
+    if "r2ab4" in parts:
+        # FWD early-out (SMEM-scalar branch): compile time + parity + step
+        # A/B at the trained-like bench point; BWD-EO contribution there too.
+        sys.path.insert(0, ".")
+        import bench
+        from freegaussian_tpu.ops import rasterize_pallas as rp
+
+        rp.FWD_EARLY_OUT = True
+        run_xinterp()  # logs compile seconds — watch for Mosaic blowup
+        bench.main({}, label="fwd_eo_on")
+        rp.FWD_EARLY_OUT = False
+        bench.main({}, label="fwd_eo_off")
+        rp.BWD_EARLY_OUT = False
+        bench.main({}, label="all_eo_off")
     if "scanhigh" in parts:
         sys.path.insert(0, ".")
         import bench
