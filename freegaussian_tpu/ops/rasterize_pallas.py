@@ -260,12 +260,12 @@ def _t_new(T: jax.Array, live: jax.Array, log_om: jax.Array) -> jax.Array:
     )
 
 
-def _pixel_coords(cfg: _Cfg, tile):
+def _pixel_coords(cfg: _Cfg, tile, row_offset: int = 0, n_rows: int | None = None):
     ts = cfg.tile_size
-    P = ts * ts
+    P = n_rows if n_rows is not None else ts * ts
     tile_x = tile % cfg.tiles_w
     tile_y = tile // cfg.tiles_w
-    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    pix = row_offset + jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     px = (tile_x * ts + pix % ts).astype(jnp.float32) + 0.5
     py = (tile_y * ts + pix // ts).astype(jnp.float32) + 0.5
     return px, py
@@ -345,51 +345,67 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
         state[...] = jnp.ones((P, 2), jnp.float32)
         if FWD_EARLY_OUT:
             alive_smem[0] = 1
+            alive_smem[1] = 1
 
-    # Segment-level early out: once every pixel of the tile has terminated,
-    # the remaining (possibly deep) tail of its sorted run contributes
-    # nothing — skip the whole alpha/compositing body, not just mask lanes.
-    # FWD_EARLY_OUT branches on the SMEM scalar STORED at the end of the
-    # previous segment (same scalar-branch class as the flags); EARLY_OUT is
-    # the legacy in-predicate vector reduce (Mosaic compile blowup).
-    if FWD_EARLY_OUT:
-        any_alive = alive_smem[0] == 1
-    elif EARLY_OUT:
-        any_alive = jnp.max(state[:, 1]) > 0.0
-    else:
-        any_alive = True
+    live_bit = (flags >> 1) & 1 == 1
 
-    @pl.when(((flags >> 1) & 1 == 1) & any_alive)
-    def _():
-        px, py = _pixel_coords(cfg, tile_ref[s])
+    def half_body(h, rows, n_rows):
+        """Composite one 128-row half of the tile (pixel rows [8h, 8h+8))."""
+        px, py = _pixel_coords(cfg, tile_ref[s], row_offset=h * n_rows, n_rows=n_rows)
         v = _alphas(cfg, data_ref[...], px, py)
         slot = chunk_ref[s] * K + jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
         in_range = (slot >= lo_ref[s]) & (slot < hi_ref[s])
         a_eff = jnp.where(in_range, v["a_eff"], 0.0)
-        T = state[:, 0:1]
-        alive = state[:, 1:2]
+        T = state[rows, 0:1]
+        alive = state[rows, 1:2]
 
         one_minus = 1.0 - a_eff
         excl_T, incl_T, live, log_om = _transmittance(one_minus, T, alive)
-        w = a_eff * excl_T * live  # (P, K)
+        w = a_eff * excl_T * live  # (n_rows, K)
 
         # precision=HIGHEST: the MXU truncates f32 inputs to bf16 by default,
         # which breaks gradient parity with the f32 oracle on real hardware.
-        color_ref[0] += jax.lax.dot_general(
+        color_ref[0, :, rows] += jax.lax.dot_general(
             v["cols"], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        alpha_ref[0] += jnp.sum(w, axis=1, keepdims=True)
-        livecnt_ref[0] += jnp.sum(
+        alpha_ref[0, rows] += jnp.sum(w, axis=1, keepdims=True)
+        livecnt_ref[0, rows] += jnp.sum(
             jnp.where(in_range, live, 0.0), axis=1, keepdims=True
         )
 
         # Mosaic has no reduce_prod; reuse log(one_minus) from _transmittance.
         T_new = _t_new(T, live, log_om)
         alive_new = alive * (incl_T[:, -1:] > TRANSMITTANCE_EPS).astype(jnp.float32)
-        state[...] = jnp.concatenate([T_new, alive_new], axis=1)
+        state[rows] = jnp.concatenate([T_new, alive_new], axis=1)
         if FWD_EARLY_OUT:
-            alive_smem[0] = (jnp.max(alive_new) > 0.0).astype(jnp.int32)
+            alive_smem[h] = (jnp.max(alive_new) > 0.0).astype(jnp.int32)
+
+    # Segment-level early out, per HALF-tile (top/bottom 8 pixel rows): once
+    # every pixel of a half has terminated, its alpha/compositing body is
+    # skipped. The predicate is the SMEM scalar STORED at the end of the
+    # previous segment's body — the same cheap scalar-branch class as the
+    # prefetched flags (the legacy EARLY_OUT's in-predicate vector reduce is
+    # what blew the Mosaic compile). Half granularity halves the
+    # max-over-pixels pessimism of a single whole-tile cutoff.
+    if FWD_EARLY_OUT:
+        half = P // 2
+        for h in (0, 1):
+            rows = slice(h * half, (h + 1) * half)
+
+            @pl.when(live_bit & (alive_smem[h] == 1))
+            def _(h=h, rows=rows):
+                half_body(h, rows, half)
+
+    else:
+        if EARLY_OUT:
+            any_alive = jnp.max(state[:, 1]) > 0.0
+        else:
+            any_alive = True
+
+        @pl.when(live_bit & any_alive)
+        def _():
+            half_body(0, slice(0, P), P)
 
 
 # -----------------------------------------------------------------------------
@@ -595,7 +611,7 @@ def _run_fwd(cfg: _Cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, 
             pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((P, 2), jnp.float32)]
-        + ([pltpu.SMEM((1,), jnp.int32)] if FWD_EARLY_OUT else []),
+        + ([pltpu.SMEM((2,), jnp.int32)] if FWD_EARLY_OUT else []),
     )
     color, alpha, livecnt = pl.pallas_call(
         functools.partial(_fwd_kernel, cfg),

@@ -223,3 +223,61 @@ def test_bwd_early_out_shared_chunk_writer_handoff():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4, err_msg=name
         )
+
+
+def test_fwd_early_out_asymmetric_halves():
+    """FWD_EARLY_OUT at half-tile granularity: the top 8 pixel rows are
+    buried under an opaque stack (terminate after a few slots) while the
+    bottom rows stay live through the whole run — the skipped-half state
+    must stay exact for forward AND backward."""
+    import numpy as np
+
+    from freegaussian_tpu.ops import rasterize_pallas as rp
+    from freegaussian_tpu.ops.rasterize_ref import rasterize_pixels_reference
+
+    assert rp.FWD_EARLY_OUT
+    w, h = 16, 16  # one tile
+    na, nb = 150, 30
+    key = jax.random.PRNGKey(21)
+    ka, kb = jax.random.split(key)
+    # opaque stack centered in the TOP half; translucent dust over the bottom
+    ma = jnp.stack(
+        [jax.random.uniform(ka, (na,)) * 14 + 1,
+         jax.random.uniform(kb, (na,)) * 5 + 1], axis=-1
+    )
+    mb = jnp.stack(
+        [jax.random.uniform(kb, (nb,)) * 14 + 1,
+         jax.random.uniform(ka, (nb,)) * 6 + 9], axis=-1
+    )
+    means2d = jnp.concatenate([ma, mb], axis=0)
+    n = na + nb
+    conics = jnp.tile(jnp.asarray([[0.5, 0.0, 0.5]]), (n, 1))
+    colors = jax.random.uniform(jax.random.PRNGKey(3), (n, 3))
+    opacities = jnp.concatenate([jnp.full((na,), 0.99), jnp.full((nb,), 0.05)])
+    depths = jnp.arange(n, dtype=jnp.float32) + 1.0
+    radii = jnp.full((n,), 4, jnp.int32)
+    target = jax.random.uniform(jax.random.PRNGKey(4), (h, w, 3))
+
+    def loss(fn, tiled=False):
+        def f(m, c, col, op):
+            if tiled:
+                r, a, _ = rasterize_pixels_reference(
+                    m, c, col, op, depths, radii, w, h, tile_size=16
+                )
+            else:
+                r, a, _ = rp.rasterize_pixels_pallas(
+                    m, c, col, op, depths, radii, w, h,
+                    capacity=512, chunk=128, interpret=True,
+                )
+            return jnp.sum((r - target) ** 2) + 0.1 * jnp.sum(a)
+        return f
+
+    l_pal = loss(None)(means2d, conics, colors, opacities)
+    l_ref = loss(None, tiled=True)(means2d, conics, colors, opacities)
+    np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=1e-5)
+    g_pal = jax.grad(loss(None), argnums=(0, 1, 2, 3))(means2d, conics, colors, opacities)
+    g_ref = jax.grad(loss(None, tiled=True), argnums=(0, 1, 2, 3))(means2d, conics, colors, opacities)
+    for name, a, b in zip(["means2d", "conics", "colors", "opac"], g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4, err_msg=name
+        )
