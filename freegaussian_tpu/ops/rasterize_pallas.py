@@ -120,10 +120,28 @@ SCAN_IMPL = "mxu"
 
 # MXU precision for the triangular scan matmuls only (the color/gradient
 # contractions stay HIGHEST — they set output pixels directly). HIGHEST is
-# a 6-pass bf16 decomposition; HIGH is 3-pass (~f32-accurate for the
-# [-6.9, 0] log-transmittance range). Switchable for hardware A/B +
-# on-chip parity (tpu_checks xinterp) before any default change.
-SCAN_PRECISION = jax.lax.Precision.HIGHEST
+# a 6-pass bf16 decomposition; Mosaic rejects Precision.HIGH inside kernels
+# (NotImplementedError), so the cheap option is "split2": x = hi + lo with
+# bf16 hi/lo and TWO default-precision dots against the EXACT 0/1 scan
+# matrix — reconstructs x to ~16-17 mantissa bits (~1e-5 rel on the
+# [-6.9, 0] log-transmittance range) at 1/3 of HIGHEST's MXU passes.
+# Switchable for hardware A/B + on-chip parity (tpu_checks xinterp).
+SCAN_PRECISION = jax.lax.Precision.HIGHEST  # or the string "split2"
+
+
+def _scan_dot(x: jax.Array, m: jax.Array) -> jax.Array:
+    """x @ m for the (K, K) 0/1 prefix matrices, at SCAN_PRECISION."""
+    dims = (((1,), (0,)), ((), ()))
+    if SCAN_PRECISION == "split2":
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        mb = m.astype(jnp.bfloat16)  # exact: entries are 0/1
+        return jax.lax.dot_general(
+            hi, mb, dims, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(lo, mb, dims, preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(
+        x, m, dims, preferred_element_type=jnp.float32, precision=SCAN_PRECISION
+    )
 
 # Segment-level early-out when every pixel of a tile has terminated. Saves
 # the whole kernel body on deep sorted runs (real scenes after densification),
@@ -205,13 +223,7 @@ def _cumsum_lanes(x: jax.Array) -> jax.Array:
     if SCAN_IMPL == "roll":
         return _cumsum_lanes_roll(x)
     k = x.shape[1]
-    return jax.lax.dot_general(
-        x,
-        _prefix_matrix(k),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=SCAN_PRECISION,
-    )
+    return _scan_dot(x, _prefix_matrix(k))
 
 
 def _cumprod_lanes(x: jax.Array) -> jax.Array:
@@ -239,15 +251,7 @@ def _transmittance(one_minus: jax.Array, T: jax.Array, alive: jax.Array):
         excl = jnp.where(lane == 0, 1.0, pltpu.roll(incl, 1, axis=1))
     else:
         k = one_minus.shape[1]
-        excl = jnp.exp(
-            jax.lax.dot_general(
-                log_om,
-                _prefix_matrix_excl(k),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=SCAN_PRECISION,
-            )
-        )
+        excl = jnp.exp(_scan_dot(log_om, _prefix_matrix_excl(k)))
     excl_T = T * excl
     incl_T = excl_T * one_minus
     live = (incl_T > TRANSMITTANCE_EPS).astype(jnp.float32) * alive

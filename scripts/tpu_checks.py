@@ -1103,6 +1103,17 @@ def main():
         rp.SCAN_PRECISION = jax.lax.Precision.HIGH
         run_xinterp()
         bench.main({}, label="scan_high")
+    if "r2ab5" in parts:
+        # halves fwd-EO revalidation + split2 scan precision A/B
+        sys.path.insert(0, ".")
+        import bench
+        from freegaussian_tpu.ops import rasterize_pallas as rp
+
+        run_xinterp()  # halves EO, HIGHEST scans: parity + compile time
+        bench.main({}, label="halves_eo_highest")
+        rp.SCAN_PRECISION = "split2"
+        run_xinterp()  # split2 parity on hardware
+        bench.main({}, label="halves_eo_split2")
 
 
 if __name__ == "__main__":
