@@ -164,11 +164,6 @@ EARLY_OUT = False
 # scenes are the real payoff.
 BWD_EARLY_OUT = True
 
-# Backward row-gradient moment contraction: "vpu" (broadcast products +
-# sublane reductions) or "mxu" (one skinny (8,P)@(P,K) matmul — measured
-# SLOWER on v5e, kept for A/B).
-MOMENTS_IMPL = "vpu"
-
 # Forward segment early-out via an SMEM scalar: the all-pixels-terminated
 # predicate is REDUCED AT THE END of the previous segment's body and stored
 # to SMEM scratch; the next segment branches on the stored scalar — the same
@@ -273,22 +268,6 @@ def _pixel_coords(cfg: _Cfg, tile, row_offset: int = 0, n_rows: int | None = Non
     px = (tile_x * ts + pix % ts).astype(jnp.float32) + 0.5
     py = (tile_y * ts + pix // ts).astype(jnp.float32) + 0.5
     return px, py
-
-
-def _pixel_features(ts: int) -> jax.Array:
-    """(8, P) tile-LOCAL pixel moment features [1, px, py, px^2, px*py, py^2]
-    (rows 6-7 zero padding). Local coords keep the binomial expansion of
-    sum_p dsigma * dx^n well-conditioned (terms ~ dx magnitude, not ~ the
-    global pixel coordinate)."""
-    P = ts * ts
-    pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    px = (pix % ts).astype(jnp.float32) + 0.5
-    py = (pix // ts).astype(jnp.float32) + 0.5
-    one = jnp.ones((1, P), jnp.float32)
-    return jnp.concatenate(
-        [one, px, py, px * px, px * py, py * py, jnp.zeros((2, P), jnp.float32)],
-        axis=0,
-    )
 
 
 def _alphas(cfg: _Cfg, data, px, py):
@@ -430,12 +409,18 @@ def _bwd_kernel(
     rtotal_ref,
     dout_ref,
     state,
+    dbuf,
 ):
-    """state scratch: (P, 3) = [T, alive, S_cum].
+    """state scratch: (P, 3) = [T, alive, S_cum]; dbuf: (2, d_rows, K) VMEM
+    per-half gradient contributions.
 
     flags bit0 = first-of-tile, bit1 = live, bit2 = first toucher of this
     chunk (writes the out block; later touchers of a shared boundary chunk
-    accumulate — they are consecutive, so the block stays VMEM-resident)."""
+    accumulate — they are consecutive, so the block stays VMEM-resident),
+    bits 3/4 = top/bottom half of the tile still has un-terminated pixels
+    for this segment (table-driven early-out from the forward's per-pixel
+    live counts; without BWD_EARLY_OUT both mirror bit1). A dead half's
+    dbuf slice is zero-filled so the combined write stays exact."""
     P = cfg.tile_size * cfg.tile_size
     s = pl.program_id(0)
     flags = flags_ref[s]
@@ -447,49 +432,59 @@ def _bwd_kernel(
         )
         state[...] = init
 
-    # Segment-level early out (mirrors the forward): all pixels terminated ->
-    # every gradient this segment would write is zero. A skipped segment that
-    # first-touches its chunk must still WRITE the zeros (Mosaic flushes the
-    # output window regardless of writes).
-    any_alive = (jnp.max(state[:, 1]) > 0.0) if EARLY_OUT else True
+    live_bit = (flags >> 1) & 1 == 1
+    half = P // 2
+    for h in (0, 1):
+        rows = slice(h * half, (h + 1) * half)
+        half_live = (flags >> (3 + h)) & 1 == 1
 
-    @pl.when(((flags >> 1) & 1 == 1) & any_alive)
+        @pl.when(live_bit & half_live)
+        def _(h=h, rows=rows):
+            dbuf[h] = _bwd_half_body(
+                cfg, tile_ref, chunk_ref, lo_ref, hi_ref, data_ref,
+                gcolor_ref, galpha_ref, rtotal_ref, state, s, rows,
+                h * half, half,
+            )
+
+        @pl.when(live_bit & jnp.logical_not(half_live))
+        def _(h=h):
+            dbuf[h] = jnp.zeros(dbuf.shape[1:], dbuf.dtype)
+
+    @pl.when(live_bit)
     def _():
-        _bwd_segment_body(
-            cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_ref,
-            gcolor_ref, galpha_ref, rtotal_ref, dout_ref, state, s,
+        d_sum = dbuf[0] + dbuf[1]
+        # AbsGS rows 6-7 = |tile-level signed means2d row sums| (rows 0-1)
+        d_chunk = jnp.concatenate(
+            [d_sum[0:6], jnp.abs(d_sum[0:2]), d_sum[8:]], axis=0
         )
 
-    if EARLY_OUT:
-
-        @pl.when(
-            ((flags >> 1) & 1 == 1)
-            & jnp.logical_not(any_alive)
-            & ((flags >> 2) & 1 == 1)
-        )
+        @pl.when((flags >> 2) & 1 == 1)
         def _():
-            dout_ref[...] = jnp.zeros(dout_ref.shape, dout_ref.dtype)
+            dout_ref[...] = d_chunk
+
+        @pl.when((flags >> 2) & 1 == 0)
+        def _():
+            dout_ref[...] += d_chunk
 
 
-def _bwd_segment_body(
-    cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_ref,
-    gcolor_ref, galpha_ref, rtotal_ref, dout_ref, state, s,
+def _bwd_half_body(
+    cfg, tile_ref, chunk_ref, lo_ref, hi_ref, data_ref,
+    gcolor_ref, galpha_ref, rtotal_ref, state, s, rows, row_offset, n_rows,
 ):
-    P = cfg.tile_size * cfg.tile_size
     C = cfg.channels
     K = cfg.chunk
-    px, py = _pixel_coords(cfg, tile_ref[s])
+    px, py = _pixel_coords(cfg, tile_ref[s], row_offset=row_offset, n_rows=n_rows)
     v = _alphas(cfg, data_ref[...], px, py)
     slot = chunk_ref[s] * K + jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     in_range = (slot >= lo_ref[s]) & (slot < hi_ref[s])
     vis = v["vis"] & in_range
     a_eff = jnp.where(in_range, v["a_eff"], 0.0)
-    T = state[:, 0:1]
-    alive = state[:, 1:2]
-    s_cum = state[:, 2:3]
-    g_color = gcolor_ref[0]  # (C, P)
-    g_alpha = galpha_ref[0]  # (P, 1)
-    r_total = rtotal_ref[0]  # (P, 1)
+    T = state[rows, 0:1]
+    alive = state[rows, 1:2]
+    s_cum = state[rows, 2:3]
+    g_color = gcolor_ref[0, :, rows]  # (C, n_rows)
+    g_alpha = galpha_ref[0, rows]  # (n_rows, 1)
+    r_total = rtotal_ref[0, rows]  # (n_rows, 1)
 
     one_minus = 1.0 - a_eff
     excl_T, incl_T, live, log_om = _transmittance(one_minus, T, alive)
@@ -517,37 +512,27 @@ def _bwd_segment_body(
     # so every row sum  sum_p dsigma * poly(dx, dy)  is a lane-wise combination
     # of the six moments  sum_p [1, px, py, px^2, px py, py^2] * dsigma.
     # dop rides M0 exactly: dop = evis * da * uncapped = -dsigma / op.
-    # Tile-LOCAL coordinates keep the binomial expansions conditioned (see
-    # _pixel_features). Moment impl measured on v5e: the (8, P) @ (P, K)
-    # HIGHEST matmul is a 6%-M-utilization skinny matmul (~1536 MXU cycles vs
-    # ~576 VPU cycles) and LOST 1.1M pixels/s in-step — the VPU form (five
-    # (P, K) broadcast-products + six sublane reductions, still fewer passes
-    # than the pre-moment twelve-product form) is the default.
+    # Tile-LOCAL coordinates keep the binomial expansions conditioned (the
+    # terms stay O(dx) instead of O(global pixel coordinate)). VPU form: five
+    # broadcast-products + six sublane reductions — measured on v5e the
+    # "obvious" (8, P) @ (P, K) HIGHEST moment matmul is a 6%-M-utilization
+    # skinny matmul (~1536 MXU cycles vs ~576 VPU) and LOST 1.1M pixels/s.
     ts = cfg.tile_size
     tile = tile_ref[s]
     gxl = v["gx"] - (tile % cfg.tiles_w * ts).astype(jnp.float32)  # (1, K)
     gyl = v["gy"] - (tile // cfg.tiles_w * ts).astype(jnp.float32)
-    if MOMENTS_IMPL == "mxu":
-        mom = jax.lax.dot_general(
-            _pixel_features(ts), dsigma, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (8, K)
-        m0, mx, my, mxx, mxy, myy = (mom[i : i + 1, :] for i in range(6))
-    else:
-        P = cfg.tile_size * cfg.tile_size
-        pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-        pxl = (pix % ts).astype(jnp.float32) + 0.5  # (P, 1) tile-local
-        pyl = (pix // ts).astype(jnp.float32) + 0.5
-        sd = lambda x: jnp.sum(x, axis=0, keepdims=True)  # (P, K) -> (1, K)
-        m0 = sd(dsigma)
-        dsx = pxl * dsigma
-        dsy = pyl * dsigma
-        mx = sd(dsx)
-        my = sd(dsy)
-        mxx = sd(pxl * dsx)
-        mxy = sd(pyl * dsx)
-        myy = sd(pyl * dsy)
+    pix = row_offset + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+    pxl = (pix % ts).astype(jnp.float32) + 0.5  # (n_rows, 1) tile-local
+    pyl = (pix // ts).astype(jnp.float32) + 0.5
+    sd = lambda x: jnp.sum(x, axis=0, keepdims=True)  # (n_rows, K) -> (1, K)
+    m0 = sd(dsigma)
+    dsx = pxl * dsigma
+    dsy = pyl * dsigma
+    mx = sd(dsx)
+    my = sd(dsy)
+    mxx = sd(pxl * dsx)
+    mxy = sd(pyl * dsx)
+    myy = sd(pyl * dsy)
     sx = gxl * m0 - mx  # sum_p dsigma * dx
     sy = gyl * m0 - my
     sxx = gxl * gxl * m0 - 2.0 * gxl * mx + mxx
@@ -571,26 +556,20 @@ def _bwd_segment_body(
         g_color, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # (C, K)
-    # Row layout mirrors the packed input; absgrad rows live in pad rows 6-7
-    # (their cotangent is dropped by the outer gather transpose).
-    d_rows = dout_ref.shape[0]
-    tail = jnp.zeros((d_rows - 8 - C, K), jnp.float32)
-    d_chunk = jnp.concatenate(
-        [rows_small, jnp.abs(row_dmx), jnp.abs(row_dmy), dcols, tail], axis=0
-    )
-
-    @pl.when((flags_ref[s] >> 2) & 1 == 1)
-    def _():
-        dout_ref[...] = d_chunk
-
-    @pl.when((flags_ref[s] >> 2) & 1 == 0)
-    def _():
-        dout_ref[...] += d_chunk
 
     T_new = _t_new(T, live, log_om)
     alive_new = alive * (incl_T[:, -1:] > TRANSMITTANCE_EPS).astype(jnp.float32)
     s_cum_new = s_cum + jnp.sum(wb, axis=1, keepdims=True)
-    state[...] = jnp.concatenate([T_new, alive_new, s_cum_new], axis=1)
+    state[rows] = jnp.concatenate([T_new, alive_new, s_cum_new], axis=1)
+
+    # Row layout mirrors the packed input. The absgrad rows 6-7 are |sum_p
+    # dmx| over the WHOLE tile — not half-decomposable (|a|+|b| != |a+b|) —
+    # so halves return zeros there and the combine epilogue takes the abs of
+    # the summed signed rows 0-1.
+    d_rows = data_ref.shape[0]
+    tail = jnp.zeros((d_rows - 8 - C, K), jnp.float32)
+    zeros2 = jnp.zeros((2, K), jnp.float32)
+    return jnp.concatenate([rows_small, zeros2, dcols, tail], axis=0)
 
 
 # -----------------------------------------------------------------------------
@@ -650,7 +629,10 @@ def _run_bwd(
             pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
         ],
         out_specs=pl.BlockSpec((D, K), lambda s, st, sf, sc, sl, sh: (0, sc[s])),
-        scratch_shapes=[pltpu.VMEM((P, 3), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((P, 3), jnp.float32),
+            pltpu.VMEM((2, D, K), jnp.float32),
+        ],
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, cfg),
@@ -689,9 +671,14 @@ def _bwd_tables_early_out(cfg, seg_tile, seg_flags, seg_chunk, seg_lo, tile_star
     Returns (flags_bwd, chunk_bwd, visited) with visited the per-chunk
     touched-by-a-live-segment mask (untouched chunk outputs are zeroed by
     the caller — their true gradients are identically zero)."""
-    nl = jnp.max(livecnt[:, :, 0], axis=1).astype(jnp.int32)  # (T + 1,)
-    cutoff = tile_starts[seg_tile] + nl[seg_tile]
-    live = ((seg_flags >> 1) & 1 == 1) & (seg_lo < cutoff)
+    half = livecnt.shape[1] // 2
+    nl_top = jnp.max(livecnt[:, :half, 0], axis=1).astype(jnp.int32)  # (T + 1,)
+    nl_bot = jnp.max(livecnt[:, half:, 0], axis=1).astype(jnp.int32)
+    live0 = (seg_flags >> 1) & 1 == 1
+    start = tile_starts[seg_tile]
+    live_top = live0 & (seg_lo < start + nl_top[seg_tile])
+    live_bot = live0 & (seg_lo < start + nl_bot[seg_tile])
+    live = live_top | live_bot
     # Newly-dead segments must not open an unwritten output window (Mosaic
     # flushes on window change without tracking writes): repeat the previous
     # live segment's chunk, as tiles.py does for originally-dead segments.
@@ -705,7 +692,11 @@ def _bwd_tables_early_out(cfg, seg_tile, seg_flags, seg_chunk, seg_lo, tile_star
     )
     chunk_first = live & (seg_chunk != prev_live_chunk)
     flags_bwd = (
-        (seg_flags & 1) + 2 * live.astype(jnp.int32) + 4 * chunk_first.astype(jnp.int32)
+        (seg_flags & 1)
+        + 2 * live.astype(jnp.int32)
+        + 4 * chunk_first.astype(jnp.int32)
+        + 8 * live_top.astype(jnp.int32)
+        + 16 * live_bot.astype(jnp.int32)
     )
     return flags_bwd, chunk_bwd, live
 
@@ -719,7 +710,9 @@ def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
         )[..., None]
         + alpha * g_alpha
     )
-    flags_bwd, chunk_bwd = seg_flags, seg_chunk
+    live0 = (seg_flags >> 1) & 1
+    # without table EO, both half-live bits mirror the segment live bit
+    flags_bwd, chunk_bwd = seg_flags + 8 * live0 + 16 * live0, seg_chunk
     visited = None
     if BWD_EARLY_OUT:
         flags_bwd, chunk_bwd, live = _bwd_tables_early_out(
