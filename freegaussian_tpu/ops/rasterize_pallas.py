@@ -133,12 +133,19 @@ def _scan_dot(x: jax.Array, m: jax.Array) -> jax.Array:
     """x @ m for the (K, K) 0/1 prefix matrices, at SCAN_PRECISION."""
     dims = (((1,), (0,)), ((), ()))
     if SCAN_PRECISION == "split2":
-        hi = x.astype(jnp.bfloat16)
-        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        mb = m.astype(jnp.bfloat16)  # exact: entries are 0/1
+        # Mosaic rejects bf16 dot operands ("Bad lhs type") — keep f32
+        # operands whose VALUES are bf16-representable, so DEFAULT
+        # precision's internal bf16 truncation is lossless on hi and the
+        # 0/1 matrix, and loses only lo's sub-2^-17 tail.
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = x - hi
         return jax.lax.dot_general(
-            hi, mb, dims, preferred_element_type=jnp.float32
-        ) + jax.lax.dot_general(lo, mb, dims, preferred_element_type=jnp.float32)
+            hi, m, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        ) + jax.lax.dot_general(
+            lo, m, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
     return jax.lax.dot_general(
         x, m, dims, preferred_element_type=jnp.float32, precision=SCAN_PRECISION
     )

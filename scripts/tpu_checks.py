@@ -1095,6 +1095,15 @@ def main():
         bench.main({}, label="fwd_eo_off")
         rp.BWD_EARLY_OUT = False
         bench.main({}, label="all_eo_off")
+    if "r2ab6" in parts:
+        # split2 v2 (f32-operand bf16-valued split dots) parity + step A/B
+        sys.path.insert(0, ".")
+        import bench
+        from freegaussian_tpu.ops import rasterize_pallas as rp
+
+        rp.SCAN_PRECISION = "split2"
+        run_xinterp()
+        bench.main({}, label="split2_v2")
     if "scanhigh" in parts:
         sys.path.insert(0, ".")
         import bench
