@@ -180,3 +180,52 @@ def test_projection_gradients_finite_difference():
                 args_p[argnum] = jnp.asarray(pert)
                 g_fd[idx] += sgn * float(f(*args_p)) / (2 * eps)
         np.testing.assert_allclose(np.asarray(grads[argnum]), g_fd, rtol=2e-2, atol=2e-2)
+
+
+def test_antialiased_compensation():
+    """Antialiased mode (gsplat rasterize_mode="antialiased", ref
+    freegaussian_model.py:856-865): compensation = sqrt(det(cov2d) /
+    det(cov2d + eps2d I)), and rasterization applies it multiplicatively to
+    the opacities. Checked against a direct numpy evaluation from the
+    returned blurred covariance, and end-to-end against classic mode with
+    pre-compensated opacities."""
+    import numpy as np
+
+    from freegaussian_tpu.ops.projection import project_gaussians
+    from freegaussian_tpu.ops.rasterize import rasterization
+
+    rng = np.random.default_rng(17)
+    n = 120
+    means = jnp.asarray(rng.normal(scale=0.5, size=(n, 3)), jnp.float32)
+    quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    scales = jnp.asarray(np.exp(rng.normal(size=(n, 3)) - 3.0), jnp.float32)
+    ops = jnp.asarray(rng.uniform(0.2, 0.9, size=(n,)), jnp.float32)
+    colors = jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32)
+    viewmat = jnp.eye(4).at[2, 3].set(4.0)
+    K = jnp.asarray([[70.0, 0, 32], [0, 70.0, 32], [0, 0, 1]])
+
+    proj = project_gaussians(
+        means, quats, scales, viewmat, K, 64, 64, calc_compensations=True
+    )
+    cxx_b, cxy, cyy_b = (np.asarray(proj.cov2d[:, i]) for i in range(3))
+    det_blur = cxx_b * cyy_b - cxy * cxy
+    det_orig = (cxx_b - 0.3) * (cyy_b - 0.3) - cxy * cxy
+    expect = np.sqrt(np.maximum(det_orig / np.maximum(det_blur, 1e-32), 0.0))
+    valid = np.asarray(proj.radii) > 0
+    np.testing.assert_allclose(
+        np.asarray(proj.compensations)[valid], expect[valid], rtol=1e-5
+    )
+    assert np.all(np.asarray(proj.compensations)[valid] <= 1.0 + 1e-6)
+    assert np.any(np.asarray(proj.compensations)[valid] < 0.999)
+
+    r_aa, a_aa, info = rasterization(
+        means, quats, scales, ops, colors, viewmat[None], K[None], 64, 64,
+        rasterize_mode="antialiased", backend="reference",
+    )
+    r_cl, a_cl, _ = rasterization(
+        means, quats, scales, ops * proj.compensations, colors,
+        viewmat[None], K[None], 64, 64,
+        rasterize_mode="classic", backend="reference",
+    )
+    np.testing.assert_allclose(np.asarray(r_aa), np.asarray(r_cl), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_aa), np.asarray(a_cl), atol=1e-6)
