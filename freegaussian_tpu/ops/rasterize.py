@@ -81,6 +81,11 @@ class RasterizeInfo(NamedTuple):
     tile_ids: jax.Array | None = None  # (I_CAP,) int32 row-major tile index
 
 
+# Debug capture callback for the pixel-stage operands (set by debugging
+# harnesses; None in production).
+_pixel_stage_capture = None
+
+
 def _resolve_backend(backend: str) -> str:
     if backend != "auto":
         return backend
@@ -239,6 +244,19 @@ def rasterization(
     # both backends receive the SAME tight radii, so backend parity holds by
     # construction, and the outputs are bit-identical to the 3-sigma radius.
     radii_pixel = tighten_radii(radii_full, opac) if tight_radius else radii_full
+
+    if _pixel_stage_capture is not None:
+        # Debug hook: hand the exact pixel-stage operands (post projection /
+        # SH / band shift / radius tightening) to a capture callback, so
+        # kernel issues seen only inside full training graphs can be replayed
+        # in a self-contained harness (see docs/NOTES_ROUND2.md).
+        _pixel_stage_capture(
+            dict(
+                means2d_px=means2d_px, conics=conics, channels=channels,
+                opacities=opac, depths=depths_full, radii_pixel=radii_pixel,
+                width=width, height=height, tile_size=tile_size,
+            )
+        )
 
     if backend == "reference":
         render, alpha, _ = rasterize_pixels_reference(

@@ -708,6 +708,26 @@ def _bwd_tables_early_out(cfg, seg_tile, seg_flags, seg_chunk, seg_lo, tile_star
     return flags_bwd, chunk_bwd, live
 
 
+def _mask_unvisited_chunks(d_packed: jax.Array, visited: jax.Array, chunk: int) -> jax.Array:
+    """Zero the gradient rows of chunks no live backward segment touched.
+
+    Those chunks' true gradients are identically zero (every slot lies past
+    every pixel's termination cutoff), but the kernel never WRITES their
+    output windows, so on real TPU they hold whatever garbage was in the HBM
+    buffer — including ±inf/NaN bit patterns (interpret mode leaves zeros,
+    which is why CPU parity tests cannot see this). The mask MUST therefore
+    be a select: a multiply turns inf*0 into NaN and poisons the whole
+    per-Gaussian reduction — the root cause of the step-1451 training
+    collapse (docs/NOTES_ROUND2.md)."""
+    d_rows, cap = d_packed.shape
+    n_chunks = cap // chunk
+    return jnp.where(
+        (visited > 0)[None, :, None],
+        d_packed.reshape(d_rows, n_chunks, chunk),
+        0.0,
+    ).reshape(d_rows, cap)
+
+
 def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
     packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts, color, alpha, livecnt = res
     g_color, g_alpha = cots
@@ -741,11 +761,7 @@ def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
         g_color, g_alpha, r_total,
     )
     if visited is not None:
-        d_rows, cap = d_packed.shape
-        n_chunks = cap // cfg.chunk
-        d_packed = (
-            d_packed.reshape(d_rows, n_chunks, cfg.chunk) * visited[None, :, None]
-        ).reshape(d_rows, cap)
+        d_packed = _mask_unvisited_chunks(d_packed, visited, cfg.chunk)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     return (
         d_packed, f0(seg_tile), f0(seg_flags), f0(seg_chunk), f0(seg_lo),

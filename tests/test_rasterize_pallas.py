@@ -281,3 +281,28 @@ def test_fwd_early_out_asymmetric_halves():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4, err_msg=name
         )
+
+
+def test_unvisited_chunk_mask_discards_nonfinite_garbage():
+    """BWD_EARLY_OUT leaves never-visited chunks' output windows UNWRITTEN on
+    real TPU hardware — they hold whatever HBM garbage was there, including
+    inf/NaN bit patterns (interpret mode leaves zeros, so only this direct
+    unit test can cover the hazard on CPU). The zero-mask must be a select:
+    the previously-shipped multiply turned inf*0 into NaN and poisoned every
+    per-Gaussian gradient — the step-1451 training collapse of the round-2
+    quality run (docs/NOTES_ROUND2.md)."""
+    from freegaussian_tpu.ops import rasterize_pallas as rp
+
+    chunk = 128
+    n_chunks = 4
+    d = np.ones((16, n_chunks * chunk), np.float32)
+    # chunks 1 and 3 unvisited, filled with hardware-garbage patterns
+    d[:, 1 * chunk : 2 * chunk] = np.inf
+    d[3:7, 3 * chunk : 4 * chunk] = np.nan
+    visited = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    out = np.asarray(rp._mask_unvisited_chunks(jnp.asarray(d), visited, chunk))
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out[:, 0 * chunk : 1 * chunk], 1.0)
+    np.testing.assert_array_equal(out[:, 1 * chunk : 2 * chunk], 0.0)
+    np.testing.assert_array_equal(out[:, 2 * chunk : 3 * chunk], 1.0)
+    np.testing.assert_array_equal(out[:, 3 * chunk : 4 * chunk], 0.0)
