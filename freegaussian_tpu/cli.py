@@ -43,6 +43,14 @@ def _build_trainer(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="freegaussian-tpu")
+    p.add_argument(
+        "--device",
+        choices=["auto", "cpu", "tpu"],
+        default="auto",
+        help="jax platform override; 'cpu' frees the (single-session) TPU "
+        "chip for CPU-side work — the axon sitecustomize ignores the "
+        "JAX_PLATFORMS env var, so this must be set before first jax use",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
@@ -95,6 +103,11 @@ def main(argv=None):
     sp.add_argument("--out", default="")
 
     args = p.parse_args(argv)
+
+    if args.device != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
 
     if args.cmd == "train":
         trainer = _build_trainer(args)

@@ -254,7 +254,17 @@ def make_train_step(
             (new_params, state.alive, dstate, opt_states),
         )
 
+        # Cheap poisoned-state detector (one fused isfinite+all pass over the
+        # params): a NaN state renders as pure background with a FINITE loss
+        # (NaN projections cull to radii 0), so loss finiteness alone cannot
+        # catch it — the round-2 collapse trained 500+ steps that way.
+        finite = jnp.asarray(True)
+        for v in new_params.values():
+            finite &= jnp.all(jnp.isfinite(v))
+        for leaf in jax.tree.leaves(new_deform):
+            finite &= jnp.all(jnp.isfinite(leaf))
         metrics = {
+            "params_finite": finite,
             "loss": total,
             "main_loss": losses["main_loss"],
             "l1": losses["l1"],

@@ -43,6 +43,14 @@ class TrainerConfig:
     eval_all_max_images: Optional[int] = None
     """cap on images per in-training eval_all sweep (None = whole split)"""
     steps_per_log: int = 10
+    halt_on_nan: bool = True
+    """stop training with a diagnostic when the logged loss goes non-finite
+    (a poisoned state never recovers: every gradient of a NaN loss is NaN, so
+    continuing just burns the remaining step budget — the round-2 collapse
+    trained 500+ steps on NaN params before eval noticed)"""
+    eval_dump_dir: str = ""
+    """when set, in-training eval_all sweeps also write gt|pred side-by-side
+    PNGs here (the reference's eval image dumps, freegaussian_pipeline.py:144)"""
     vis: str = ""
     """metric sinks: "" (jsonl only) or "tensorboard" (also event files,
     mirroring the reference's `vis:` config key)"""
@@ -284,6 +292,19 @@ class Trainer:
                 self._maybe_grow_isect_capacity(metrics)
                 last_metrics = {k: float(v) for k, v in metrics.items()}
                 last_metrics["step"] = i
+                poisoned = not np.isfinite(
+                    last_metrics.get("loss", 0.0)
+                ) or not last_metrics.get("params_finite", 1.0)
+                if cfg.halt_on_nan and poisoned:
+                    self._log_metrics(last_metrics, i)
+                    raise FloatingPointError(
+                        f"non-finite loss or params at step {i} "
+                        f"(metrics: {last_metrics}); training halted — a "
+                        "poisoned state cannot recover (NaN params render as "
+                        "background with a finite loss). Resume from the "
+                        "last checkpoint; set halt_on_nan=False to continue "
+                        "anyway."
+                    )
                 now = time.time()
                 last_metrics["steps_per_sec"] = (i + 1 - win_step) / max(
                     now - win_t, 1e-9
@@ -294,7 +315,14 @@ class Trainer:
                 cfg.steps_per_eval_all_images
                 and (i + 1) % cfg.steps_per_eval_all_images == 0
             ):
-                ev = self.eval_all(max_images=cfg.eval_all_max_images)
+                ev = self.eval_all(
+                    max_images=cfg.eval_all_max_images,
+                    dump_dir=(
+                        Path(cfg.eval_dump_dir) / f"step_{i + 1:09d}"
+                        if cfg.eval_dump_dir
+                        else None
+                    ),
+                )
                 ev["step"] = i + 1
                 ev["eval"] = "all"
                 self._log_metrics(ev, i + 1, "eval")

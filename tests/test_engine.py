@@ -251,3 +251,26 @@ def test_key_frames_registry():
     assert len(tree) >= 28
     frames = load_key_frames(path, sorted(tree)[0])
     assert frames and all(isinstance(f, int) for f in frames)
+
+
+def test_halt_on_nan_watchdog(tmp_path):
+    """A poisoned state must stop the loop with a diagnostic instead of
+    silently burning the remaining step budget (the round-2 collapse trained
+    500+ NaN steps before eval noticed; docs/NOTES_ROUND2.md)."""
+    import jax.numpy as jnp
+    import pytest
+
+    _make_dataset(tmp_path)
+    trainer = _trainer(tmp_path, steps_per_log=1, steps_per_eval_image=0,
+                       steps_per_eval_all_images=0)
+    trainer.train(1)
+    trainer.state = trainer.state.replace(
+        params={**trainer.state.params,
+                "means": trainer.state.params["means"] * jnp.nan}
+    )
+    with pytest.raises(FloatingPointError, match="non-finite loss or params"):
+        trainer.train(3)
+    # opt-out keeps the old behavior
+    import dataclasses as dc
+    trainer.config = dc.replace(trainer.config, halt_on_nan=False)
+    trainer.train(2)
