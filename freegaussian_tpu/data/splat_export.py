@@ -24,9 +24,10 @@ def export_splat_ply(path: Path, params, alive) -> int:
     scales = np.asarray(params["scales"])[alive_np]
     quats = np.asarray(params["quats"])[alive_np]
     f_dc = np.asarray(params["features_dc"])[alive_np]
-    f_rest = np.asarray(params["features_rest"])[alive_np]  # (N, K-1, 3)
+    f_rest = np.asarray(params["features_rest"])[alive_np]  # flat (N, (K-1)*3)
     opac = np.asarray(params["opacities"])[alive_np]
     n = means.shape[0]
+    f_rest = f_rest.reshape(n, -1, 3)  # (N, K-1, 3)
     k_rest = f_rest.shape[1]
 
     # INRIA layout stores rest coefficients channel-major: (3, K-1) flattened.
@@ -85,7 +86,11 @@ def import_splat_ply(path: Path):
     params = {
         "means": arr[:, [col["x"], col["y"], col["z"]]],
         "features_dc": arr[:, [col["f_dc_0"], col["f_dc_1"], col["f_dc_2"]]],
-        "features_rest": f_rest.reshape(n, 3, k_rest).transpose(0, 2, 1),
+        # channel-major PLY layout -> in-memory flat (N, (K-1)*3),
+        # coefficient-major (models/gaussians.py convention)
+        "features_rest": np.ascontiguousarray(
+            f_rest.reshape(n, 3, k_rest).transpose(0, 2, 1)
+        ).reshape(n, -1),
         "opacities": arr[:, [col["opacity"]]],
         "scales": arr[:, [col["scale_0"], col["scale_1"], col["scale_2"]]],
         "quats": arr[:, [col[f"rot_{i}"] for i in range(4)]],

@@ -36,15 +36,51 @@ def save_checkpoint(directory: Path, step: int, state: Any) -> None:
         mgr.wait_until_finished()
 
 
+def _legacy_rest_template(template: Any):
+    """Adapter for pre-flat checkpoints: `features_rest` (and its Adam
+    moments) used to be stored (N, K-1, 3); it is now flat (N, (K-1)*3)
+    (models/gaussians.py). Returns (template with those leaves reshaped
+    3D, fixup) — fixup flattens them back after restore."""
+    paths = []
+
+    def widen(path, leaf):
+        if any("features_rest" in str(p) for p in path) and getattr(
+            leaf, "ndim", 0
+        ) == 2 and leaf.shape[-1] % 3 == 0:
+            paths.append(path)
+            return np.asarray(leaf).reshape(leaf.shape[0], -1, 3)
+        return leaf
+
+    wide = jax.tree_util.tree_map_with_path(widen, template)
+
+    def fixup(restored):
+        def flatten(path, leaf):
+            if path in paths:
+                return np.asarray(leaf).reshape(leaf.shape[0], -1)
+            return leaf
+
+        return jax.tree_util.tree_map_with_path(flatten, restored)
+
+    return wide, (fixup if paths else None)
+
+
 def load_checkpoint(directory: Path, template: Any, step: Optional[int] = None) -> Any:
     directory = Path(directory).absolute()
     with ocp.CheckpointManager(directory) as mgr:
         if step is None:
             step = mgr.latest_step()
-        restored = mgr.restore(
-            step,
-            args=ocp.args.StandardRestore(jax.tree.map(np.asarray, template)),
-        )
+        np_template = jax.tree.map(np.asarray, template)
+        try:
+            restored = mgr.restore(
+                step, args=ocp.args.StandardRestore(np_template)
+            )
+        except Exception:
+            wide, fixup = _legacy_rest_template(np_template)
+            if fixup is None:
+                raise
+            restored = fixup(
+                mgr.restore(step, args=ocp.args.StandardRestore(wide))
+            )
     return jax.tree.map(jax.numpy.asarray, restored)
 
 

@@ -80,7 +80,11 @@ def init_gaussians(
         features_dc = np.asarray(rgb_to_sh(np.asarray(seed_points[1], np.float32) / 255.0))
     else:
         features_dc = np.asarray(jax.random.uniform(k_feat, (n, 3)))
-    features_rest = np.zeros((n, dim_sh - 1, 3), np.float32)
+    # Stored FLAT as (N, (K-1)*3), coefficient-major — a 2D array gives XLA
+    # layout assignment no 3-minor dim to argue about (a Pallas custom-call
+    # in the step graph made it flip f32[N,15,3] between {0,1,2} and {2,0,1}
+    # tilings, ~1.2 ms per transposing copy; docs/NOTES_ROUND2.md).
+    features_rest = np.zeros((n, (dim_sh - 1) * 3), np.float32)
     opacities = np.full((n, 1), math.log(init_opacity / (1 - init_opacity)), np.float32)
 
     def pad(x):
@@ -104,10 +108,13 @@ def num_alive(alive: jax.Array) -> jax.Array:
 
 
 def colors_from_features(params: GaussianParams) -> jax.Array:
-    """(N_max, K, 3) SH coefficient stack (dc + rest)."""
-    return jnp.concatenate(
-        [params["features_dc"][:, None, :], params["features_rest"]], axis=1
-    )
+    """(N_max, K, 3) SH coefficient stack (dc + rest).
+
+    `features_rest` is stored flat (N, (K-1)*3); the reshape back to
+    (N, K-1, 3) is layout-free under the default row-major tiling."""
+    rest = params["features_rest"]
+    rest = rest.reshape(rest.shape[0], -1, 3)
+    return jnp.concatenate([params["features_dc"][:, None, :], rest], axis=1)
 
 
 def resize_to_capacity(params: GaussianParams, alive: jax.Array, capacity: int):

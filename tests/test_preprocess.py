@@ -119,7 +119,7 @@ def test_cluster_gaussians_votes(tmp_path):
         "scales": jnp.full((capacity, 3), np.log(0.05)),
         "quats": jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (capacity, 1)),
         "features_dc": jnp.zeros((capacity, 3)),
-        "features_rest": jnp.zeros((capacity, 15, 3)),
+        "features_rest": jnp.zeros((capacity, 45)),
         "opacities": jnp.full((capacity, 1), 4.0),
     }
     alive = jnp.asarray(np.arange(capacity) < 3)

@@ -60,7 +60,7 @@ def make_gt_scene(key, n=60):
         "scales": scales,
         "quats": quats,
         "features_dc": dc,
-        "features_rest": jnp.zeros((n, 15, 3)),
+        "features_rest": jnp.zeros((n, 45)),
         "opacities": opac,
     }
 
@@ -192,7 +192,7 @@ def test_deform_field_learns_motion():
         "scales": jnp.log(jnp.full((n, 3), 0.15)),
         "quats": jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1)),
         "features_dc": jax.random.uniform(keys[1], (n, 3), minval=-1, maxval=1.5),
-        "features_rest": jnp.zeros((n, 0, 3)),
+        "features_rest": jnp.zeros((n, 0)),
         "opacities": jnp.full((n, 1), 2.0),
     }
     shift = jnp.array([0.4, 0.0, 0.0])
@@ -201,7 +201,7 @@ def test_deform_field_learns_motion():
         p = dict(base)
         p["means"] = base["means"] + i * shift
         p15 = dict(p)
-        p15["features_rest"] = jnp.zeros((n, 15, 3))
+        p15["features_rest"] = jnp.zeros((n, 45))
         images.append(render_gt(p15, cam, cfg))
 
     params, alive = init_gaussians(
