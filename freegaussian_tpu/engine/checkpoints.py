@@ -36,32 +36,24 @@ def save_checkpoint(directory: Path, step: int, state: Any) -> None:
         mgr.wait_until_finished()
 
 
-def _legacy_rest_template(template: Any):
+def _flatten_legacy_rest(restored: Any, template: Any) -> Any:
     """Adapter for pre-flat checkpoints: `features_rest` (and its Adam
     moments) used to be stored (N, K-1, 3); it is now flat (N, (K-1)*3)
-    (models/gaussians.py). Returns (template with those leaves reshaped
-    3D, fixup) — fixup flattens them back after restore."""
-    paths = []
+    (models/gaussians.py). Orbax restores with the CHECKPOINT's shapes, so
+    any leaf that came back one dim wider than its template is reshaped."""
 
-    def widen(path, leaf):
-        if any("features_rest" in str(p) for p in path) and getattr(
-            leaf, "ndim", 0
-        ) == 2 and leaf.shape[-1] % 3 == 0:
-            paths.append(path)
-            return np.asarray(leaf).reshape(leaf.shape[0], -1, 3)
-        return leaf
+    def fix(t_leaf, r_leaf):
+        t_nd = getattr(t_leaf, "ndim", 0)
+        if (
+            getattr(r_leaf, "ndim", 0) == t_nd + 1
+            and t_nd == 2
+            and r_leaf.shape[:1] == t_leaf.shape[:1]
+            and r_leaf.shape[1] * r_leaf.shape[2] == t_leaf.shape[1]
+        ):
+            return np.asarray(r_leaf).reshape(t_leaf.shape)
+        return r_leaf
 
-    wide = jax.tree_util.tree_map_with_path(widen, template)
-
-    def fixup(restored):
-        def flatten(path, leaf):
-            if path in paths:
-                return np.asarray(leaf).reshape(leaf.shape[0], -1)
-            return leaf
-
-        return jax.tree_util.tree_map_with_path(flatten, restored)
-
-    return wide, (fixup if paths else None)
+    return jax.tree.map(fix, template, restored)
 
 
 def load_checkpoint(directory: Path, template: Any, step: Optional[int] = None) -> Any:
@@ -70,17 +62,10 @@ def load_checkpoint(directory: Path, template: Any, step: Optional[int] = None) 
         if step is None:
             step = mgr.latest_step()
         np_template = jax.tree.map(np.asarray, template)
-        try:
-            restored = mgr.restore(
-                step, args=ocp.args.StandardRestore(np_template)
-            )
-        except Exception:
-            wide, fixup = _legacy_rest_template(np_template)
-            if fixup is None:
-                raise
-            restored = fixup(
-                mgr.restore(step, args=ocp.args.StandardRestore(wide))
-            )
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore(np_template)
+        )
+        restored = _flatten_legacy_rest(restored, np_template)
     return jax.tree.map(jax.numpy.asarray, restored)
 
 

@@ -274,3 +274,51 @@ def test_halt_on_nan_watchdog(tmp_path):
     import dataclasses as dc
     trainer.config = dc.replace(trainer.config, halt_on_nan=False)
     trainer.train(2)
+
+
+def test_legacy_features_rest_checkpoint_restore(tmp_path):
+    """Checkpoints written before the (N, (K-1)*3) flatten stored
+    features_rest (and its Adam moments) as (N, K-1, 3); load_checkpoint's
+    legacy adapter must restore them into the flat layout."""
+    import jax.numpy as jnp
+
+    from freegaussian_tpu.engine.checkpoints import load_checkpoint, save_checkpoint
+
+    rng = np.random.default_rng(0)
+    rest_legacy = rng.normal(size=(8, 15, 3)).astype(np.float32)
+    legacy_state = {
+        "params": {
+            "means": np.zeros((8, 3), np.float32),
+            "features_rest": rest_legacy,
+        },
+        "moments": {"features_rest": rest_legacy * 0.5},
+        "step": np.asarray(3),
+    }
+    save_checkpoint(tmp_path / "ck", 3, legacy_state)
+
+    template = {
+        "params": {
+            "means": jnp.zeros((8, 3)),
+            "features_rest": jnp.zeros((8, 45)),
+        },
+        "moments": {"features_rest": jnp.zeros((8, 45))},
+        "step": jnp.asarray(0),
+    }
+    restored = load_checkpoint(tmp_path / "ck", template)
+    assert restored["params"]["features_rest"].shape == (8, 45)
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["features_rest"]),
+        rest_legacy.reshape(8, 45),
+        atol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(restored["moments"]["features_rest"]),
+        rest_legacy.reshape(8, 45) * 0.5,
+        atol=0,
+    )
+    assert int(restored["step"]) == 3
+
+    # current-format roundtrip still takes the direct path
+    save_checkpoint(tmp_path / "ck2", 1, jax.tree.map(np.asarray, template))
+    r2 = load_checkpoint(tmp_path / "ck2", template)
+    assert r2["params"]["features_rest"].shape == (8, 45)
