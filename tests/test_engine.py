@@ -322,3 +322,21 @@ def test_legacy_features_rest_checkpoint_restore(tmp_path):
     save_checkpoint(tmp_path / "ck2", 1, jax.tree.map(np.asarray, template))
     r2 = load_checkpoint(tmp_path / "ck2", template)
     assert r2["params"]["features_rest"].shape == (8, 45)
+
+
+def test_in_training_eval_dumps(tmp_path):
+    """steps_per_eval_all_images + eval_dump_dir writes per-sweep gt|pred
+    PNGs (the reference's eval image dumps, freegaussian_pipeline.py:144)."""
+    _make_dataset(tmp_path)
+    trainer = _trainer(
+        tmp_path,
+        steps_per_eval_image=0,
+        steps_per_eval_all_images=2,
+        eval_all_max_images=1,
+        eval_dump_dir=str(tmp_path / "dumps"),
+    )
+    trainer.train(2)
+    step_dirs = sorted((tmp_path / "dumps").glob("step_*"))
+    assert step_dirs, "no eval dump directory written"
+    pngs = list(step_dirs[0].glob("*.png"))
+    assert pngs, "no eval images dumped"
