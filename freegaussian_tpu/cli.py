@@ -95,6 +95,15 @@ def main(argv=None):
     sp.add_argument("--out", required=True)
     sp.add_argument("--format", choices=["ply", "torch"], default="ply")
 
+    sp = sub.add_parser("viewer", help="serve the interactive orbit/slider viewer")
+    common(sp)
+    sp.add_argument("--stage1-checkpoint", default="",
+                    help="serve the stage-2 CONTROL model (with --gaussian-mask)")
+    sp.add_argument("--gaussian-mask", default="")
+    sp.add_argument("--port", type=int, default=7007)
+    sp.add_argument("--width", type=int, default=480)
+    sp.add_argument("--height", type=int, default=360)
+
     sp = sub.add_parser("cluster", help="vote articulation masks onto Gaussians")
     common(sp)
     sp.add_argument("--key-frames", default="", help="key_frames.yaml path")
@@ -220,6 +229,39 @@ def main(argv=None):
         metrics = trainer.train()
         trainer.save(int(trainer.state.step))
         print(json.dumps(metrics))
+    elif args.cmd == "viewer":
+        if args.stage1_checkpoint:
+            from .engine.config import trainer_config_from_yaml
+            from .engine.control_trainer import ControlTrainer
+            from .engine.trainer import TrainerConfig
+
+            cfg = (
+                trainer_config_from_yaml(args.config, args.scene_config)
+                if args.config
+                else TrainerConfig()
+            )
+            if args.data:
+                cfg = dataclasses.replace(cfg, data=args.data)
+            trainer = ControlTrainer(
+                cfg,
+                load_deformable_checkpoint=Path(args.stage1_checkpoint),
+                gaussian_mask_path=Path(args.gaussian_mask) if args.gaussian_mask else None,
+            )
+            if args.load:
+                trainer.load(Path(args.load))
+        else:
+            trainer = _build_trainer(args)
+        server = trainer.start_viewer(
+            port=args.port, width=args.width, height=args.height
+        )
+        print("serving; ctrl-c to stop")
+        try:
+            import time as _time
+
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            server.shutdown()
     elif args.cmd == "cluster":
         import numpy as np
 

@@ -132,6 +132,26 @@ class ControlTrainer(Trainer):
             "gaussian_count": int(jnp.sum(self.state.alive)),
         }
 
+    def viewer_num_attributes(self) -> int:
+        return max(int(self.gaussian_mask.shape[1]) - 1, 1)
+
+    def viewer_render_fn(self):
+        """Stage-2 viewer: attribute sliders drive the control field
+        (Controller x0.1 scaling is applied browser-side by the slider
+        range; raw 3-vectors arrive here)."""
+        import numpy as np
+
+        num_attributes = self.viewer_num_attributes()
+
+        def render_fn(camera, atrb_values=None):
+            if atrb_values is None:
+                atrb_values = np.zeros((num_attributes, 3), np.float32)
+            return self.render_with_control(
+                camera, np.asarray(atrb_values, np.float32).reshape(-1, 3)
+            )["rgb"]
+
+        return render_fn
+
     def render_with_control(self, camera, atrb_values) -> Dict[str, jax.Array]:
         """Inference: drive the articulated object with injected attribute
          3-vectors (the GUI slider path)."""

@@ -52,8 +52,10 @@ class TrainerConfig:
     """when set, in-training eval_all sweeps also write gt|pred side-by-side
     PNGs here (the reference's eval image dumps, freegaussian_pipeline.py:144)"""
     vis: str = ""
-    """metric sinks: "" (jsonl only) or "tensorboard" (also event files,
-    mirroring the reference's `vis:` config key)"""
+    """metric sinks: "" (jsonl only), "tensorboard" (also event files), or
+    "viewer+tensorboard" (also the live HTTP orbit viewer) — mirroring the
+    reference's `vis:` config key"""
+    viewer_port: int = 7007
     capacity: int = 1 << 19
     num_random: int = 50000
     """random-init Gaussian count when the dataset has no seed points"""
@@ -182,6 +184,50 @@ class Trainer:
                 import warnings
 
                 warnings.warn(f"tensorboard writer unavailable: {e}")
+        self._viewer = None
+        if "viewer" in config.vis:
+            self._viewer = self.start_viewer(port=config.viewer_port)
+
+    # ------------------------------------------------------------------
+    def viewer_render_fn(self):
+        """render_fn(camera, atrb_values|None) -> (H, W, 3) float rgb over the
+        CURRENT state (live during training — the reference's `vis: viewer`
+        viser loop, freegaussian_controller.py:15-39)."""
+
+        def render_fn(camera, atrb_values=None):
+            del atrb_values  # stage-1 has no control sliders
+            out = forward(
+                self.config.splat,
+                self.state.params,
+                self.state.alive,
+                camera,
+                deform_variables=self.state.deform_vars,
+                deform_apply=self.deform_apply,
+                sh_degree_now=self.config.splat.sh_degree,
+                warmed_up=self.state.step >= self.config.splat.warm_up,
+                train=False,
+            )
+            return out["rgb"]
+
+        return render_fn
+
+    def viewer_num_attributes(self) -> int:
+        return 0  # stage-1 has no control sliders
+
+    def start_viewer(self, port: int = 7007, width: int = 480, height: int = 360):
+        """Background HTTP viewer over the live model; returns the server."""
+        from ..viewer import ViewerServer
+
+        server = ViewerServer(
+            self.viewer_render_fn(),
+            num_attributes=self.viewer_num_attributes(),
+            width=width,
+            height=height,
+            port=port,
+        )
+        server.start_background()
+        print(f"viewer: http://localhost:{server.port}/")
+        return server
 
     def _log_metrics(self, row: Dict[str, float], step: int, prefix: str = "train") -> None:
         with open(self.metrics_log, "a") as f:

@@ -340,3 +340,26 @@ def test_in_training_eval_dumps(tmp_path):
     assert step_dirs, "no eval dump directory written"
     pngs = list(step_dirs[0].glob("*.png"))
     assert pngs, "no eval images dumped"
+
+
+def test_live_training_viewer(tmp_path):
+    """`vis: viewer` parity: a background HTTP viewer serves renders of the
+    live trainer state (ref viser loop, freegaussian_controller.py:15-39)."""
+    import urllib.request
+
+    _make_dataset(tmp_path)
+    trainer = _trainer(tmp_path)
+    server = trainer.start_viewer(port=7391, width=32, height=24)
+    try:
+        with urllib.request.urlopen(
+            "http://127.0.0.1:7391/info", timeout=60
+        ) as r:
+            info = json.loads(r.read())
+        assert info["num_attributes"] == 0
+        with urllib.request.urlopen(
+            "http://127.0.0.1:7391/render?th=0.3&ph=0.1&r=4&t=0.5", timeout=120
+        ) as r:
+            jpg = r.read()
+        assert jpg[:2] == b"\xff\xd8"  # JPEG magic
+    finally:
+        server.shutdown()
