@@ -85,6 +85,39 @@ class ControlTrainer(Trainer):
                 self.save(i + 1)
         return last
 
+    def _control_eval_render(self):
+        """Cached jitted stage-2 inference render (train-mode control state);
+        see Trainer._eval_render for why eval must not dispatch eagerly."""
+        cfg = self.config
+        if getattr(self, "_ctrl_eval_cfg", None) is not cfg:
+            import jax
+
+            control_apply = self.control_apply
+            deform_apply = self.deform_apply
+            gaussian_mask = self.gaussian_mask
+            init_time = self.init_time
+
+            @jax.jit
+            def render(params, alive, camera, control_vars, deform_vars):
+                return control_forward(
+                    cfg.splat,
+                    params,
+                    alive,
+                    gaussian_mask,
+                    camera,
+                    control_apply,
+                    control_vars,
+                    deform_apply=deform_apply,
+                    deform_vars=deform_vars,
+                    init_time=init_time,
+                    sh_degree_now=cfg.splat.sh_degree,
+                    train=False,
+                )["rgb"]
+
+            self._ctrl_eval_cache = render
+            self._ctrl_eval_cfg = cfg
+        return self._ctrl_eval_cache
+
     def eval_all(self, max_images=None, dump_dir=None) -> Dict[str, float]:
         """Stage-2 eval renders through the CONTROL model with the train-mode
         control state (deform displacement between init and frame time) —
@@ -93,32 +126,26 @@ class ControlTrainer(Trainer):
         """
         import time as _time
 
-        from ..models.splat_model import psnr as _psnr
-        from ..models.ssim import ssim as _ssim
+        from .trainer import _quality_metrics
 
         dm = self.eval_datamanager or self.datamanager
         psnrs, ssims = [], []
         t0 = _time.time()
         n_pix = 0
         count = 0
+        render = self._control_eval_render()
         for camera, batch in dm.eval_frames():
-            out = control_forward(
-                self.config.splat,
+            rgb = render(
                 self.state.params,
                 self.state.alive,
-                self.gaussian_mask,
                 camera,
-                self.control_apply,
                 self.state.control_vars,
-                deform_apply=self.deform_apply,
-                deform_vars=self.state.deform_vars,
-                init_time=self.init_time,
-                sh_degree_now=self.config.splat.sh_degree,
-                train=False,
+                self.state.deform_vars,
             )
             gt = batch["image"][..., :3]
-            psnrs.append(float(_psnr(out["rgb"], gt)))
-            ssims.append(float(_ssim(out["rgb"], gt)))
+            p, s = _quality_metrics(rgb, gt)
+            psnrs.append(float(p))
+            ssims.append(float(s))
             n_pix += camera.width * camera.height
             count += 1
             if max_images and count >= max_images:
@@ -154,16 +181,33 @@ class ControlTrainer(Trainer):
 
     def render_with_control(self, camera, atrb_values) -> Dict[str, jax.Array]:
         """Inference: drive the articulated object with injected attribute
-         3-vectors (the GUI slider path)."""
-        return control_forward(
-            self.config.splat,
+         3-vectors (the GUI slider path). Jitted (re-traces per resolution)."""
+        cfg = self.config
+        if getattr(self, "_ctrl_slider_cfg", None) is not cfg:
+            control_apply = self.control_apply
+            gaussian_mask = self.gaussian_mask
+
+            @jax.jit
+            def render(params, alive, camera, control_vars, atrb):
+                return control_forward(
+                    cfg.splat,
+                    params,
+                    alive,
+                    gaussian_mask,
+                    camera,
+                    control_apply,
+                    control_vars,
+                    atrb_values=atrb,
+                    sh_degree_now=cfg.splat.sh_degree,
+                    train=False,
+                )
+
+            self._ctrl_slider_cache = render
+            self._ctrl_slider_cfg = cfg
+        return self._ctrl_slider_cache(
             self.state.params,
             self.state.alive,
-            self.gaussian_mask,
             camera,
-            self.control_apply,
             self.state.control_vars,
-            atrb_values=jnp.asarray(atrb_values),
-            sh_degree_now=self.config.splat.sh_degree,
-            train=False,
+            jnp.asarray(atrb_values),
         )

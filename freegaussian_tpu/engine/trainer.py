@@ -29,6 +29,8 @@ from .checkpoints import load_checkpoint, save_checkpoint
 from .optimizers import OptimizersConfig, init_opt_states, make_optimizers
 from .train_step import GAUSSIAN_GROUPS, TrainState, make_train_step
 
+_quality_metrics = jax.jit(lambda rgb, gt: (psnr(rgb, gt), ssim(rgb, gt)))
+
 
 @dataclasses.dataclass
 class TrainerConfig:
@@ -189,6 +191,43 @@ class Trainer:
             self._viewer = self.start_viewer(port=config.viewer_port)
 
     # ------------------------------------------------------------------
+    def _eval_render(self):
+        """Cached JITTED inference forward -> rgb. Eager dispatch is the
+        enemy on the tunneled chip (~30 s per op first time, a host round
+        trip after); one jit makes eval throughput track the train forward.
+        Re-traces automatically per (width, height) — static Camera aux —
+        and is rebuilt when the config object changes (capacity growth)."""
+        cfg = self.config
+        if getattr(self, "_eval_render_cfg", None) is not cfg:
+            deform_apply = self.deform_apply
+
+            @jax.jit
+            def render(params, alive, dvars, camera, warmed):
+                return forward(
+                    cfg.splat,
+                    params,
+                    alive,
+                    camera,
+                    deform_variables=dvars,
+                    deform_apply=deform_apply,
+                    sh_degree_now=cfg.splat.sh_degree,
+                    warmed_up=warmed,
+                    train=False,
+                )["rgb"]
+
+            self._eval_render_cache = render
+            self._eval_render_cfg = cfg
+        return self._eval_render_cache
+
+    def _render_rgb(self, camera) -> jax.Array:
+        return self._eval_render()(
+            self.state.params,
+            self.state.alive,
+            self.state.deform_vars,
+            camera,
+            self.state.step >= self.config.splat.warm_up,
+        )
+
     def viewer_render_fn(self):
         """render_fn(camera, atrb_values|None) -> (H, W, 3) float rgb over the
         CURRENT state (live during training — the reference's `vis: viewer`
@@ -196,18 +235,7 @@ class Trainer:
 
         def render_fn(camera, atrb_values=None):
             del atrb_values  # stage-1 has no control sliders
-            out = forward(
-                self.config.splat,
-                self.state.params,
-                self.state.alive,
-                camera,
-                deform_variables=self.state.deform_vars,
-                deform_apply=self.deform_apply,
-                sh_degree_now=self.config.splat.sh_degree,
-                warmed_up=self.state.step >= self.config.splat.warm_up,
-                train=False,
-            )
-            return out["rgb"]
+            return self._render_rgb(camera)
 
         return render_fn
 
@@ -395,25 +423,15 @@ class Trainer:
             return None
         idx = step % len(dm)
         camera, batch = dm.get_batch(idx)
-        cfg = self.config
-        out = forward(
-            cfg.splat,
-            self.state.params,
-            self.state.alive,
-            camera,
-            deform_variables=self.state.deform_vars,
-            deform_apply=self.deform_apply,
-            sh_degree_now=cfg.splat.sh_degree,
-            warmed_up=self.state.step >= cfg.splat.warm_up,
-            train=False,
-        )
+        rgb = self._render_rgb(camera)
         gt = batch["image"][..., :3]
+        p, s = _quality_metrics(rgb, gt)
         return {
             "step": step,
             "eval": "image",
             "eval_idx": idx,
-            "psnr": float(psnr(out["rgb"], gt)),
-            "ssim": float(ssim(out["rgb"], gt)),
+            "psnr": float(p),
+            "ssim": float(s),
         }
 
     # ------------------------------------------------------------------
@@ -435,28 +453,19 @@ class Trainer:
         n_pix = 0
         count = 0
         for camera, batch in dm.eval_frames():
-            out = forward(
-                cfg.splat,
-                self.state.params,
-                self.state.alive,
-                camera,
-                deform_variables=self.state.deform_vars,
-                deform_apply=self.deform_apply,
-                sh_degree_now=cfg.splat.sh_degree,
-                warmed_up=self.state.step >= cfg.splat.warm_up,
-                train=False,
-            )
+            rgb = self._render_rgb(camera)
             gt = batch["image"][..., :3]
-            psnrs.append(float(psnr(out["rgb"], gt)))
-            ssims.append(float(ssim(out["rgb"], gt)))
-            lp = lpips_fn(np.asarray(out["rgb"]), np.asarray(gt))
+            p, s = _quality_metrics(rgb, gt)
+            psnrs.append(float(p))
+            ssims.append(float(s))
+            lp = lpips_fn(np.asarray(rgb), np.asarray(gt))
             if lp is not None:
                 lpipss.append(lp)
             if dump_dir is not None:
                 import imageio.v2 as imageio
 
                 pair = np.concatenate(
-                    [np.asarray(gt), np.asarray(out["rgb"])], axis=1
+                    [np.asarray(gt), np.asarray(rgb)], axis=1
                 )
                 imageio.imwrite(
                     Path(dump_dir) / f"eval_{count:04d}.png",

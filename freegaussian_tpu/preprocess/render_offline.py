@@ -37,14 +37,20 @@ def render_depth_maps(
     out_dir.mkdir(parents=True, exist_ok=True)
     count = 0
     names = list(names) if names is not None else None
-    for i, cam in enumerate(cameras):
-        out = forward(
+
+    # jit once; re-traces per resolution (eager dispatch over the tunneled
+    # chip costs a host round trip per op — see Trainer._eval_render)
+    @jax.jit
+    def _render(params, alive, deform_vars, cam):
+        return forward(
             cfg, params, alive, cam,
             deform_variables=deform_vars, deform_apply=deform_apply,
             sh_degree_now=0, warmed_up=jnp.asarray(deform_vars is not None),
             train=False, render_mode="RGB+ED",
-        )
-        depth = np.asarray(out["depth"][..., 0]) / dataparser_scale
+        )["depth"][..., 0]
+
+    for i, cam in enumerate(cameras):
+        depth = np.asarray(_render(params, alive, deform_vars, cam)) / dataparser_scale
         name = names[i] if names else f"{i:05d}"
         np.save(out_dir / f"{name}.npy", depth)
         count += 1
@@ -70,14 +76,18 @@ def render_color_images(
     out_dir.mkdir(parents=True, exist_ok=True)
     count = 0
     names = list(names) if names is not None else None
-    for i, cam in enumerate(cameras):
-        out = forward(
+
+    @jax.jit
+    def _render(params, alive, deform_vars, cam):
+        return forward(
             cfg, params, alive, cam,
             deform_variables=deform_vars, deform_apply=deform_apply,
             sh_degree_now=sh_degree, warmed_up=jnp.asarray(deform_vars is not None),
             train=False, render_mode="RGB",
-        )
-        rgb = np.clip(np.asarray(out["rgb"]) * 255, 0, 255).astype(np.uint8)
+        )["rgb"]
+
+    for i, cam in enumerate(cameras):
+        rgb = np.clip(np.asarray(_render(params, alive, deform_vars, cam)) * 255, 0, 255).astype(np.uint8)
         name = names[i] if names else f"{i:05d}"
         imageio.imwrite(out_dir / f"{name}.png", rgb)
         count += 1
