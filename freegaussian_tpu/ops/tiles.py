@@ -30,11 +30,60 @@ class Intersections(NamedTuple):
     tile_ids: jax.Array  # (I_CAP,) int32 tile index (row-major); num_tiles for padding
     tile_offsets: jax.Array  # (num_tiles + 1,) int32 range of each tile in the sorted arrays
     num_isects: jax.Array  # () int32 true intersection count (pre-capacity-clamp)
-    counts: jax.Array  # (N,) int32 tiles overlapped per Gaussian (pre-clamp)
-    offsets: jax.Array  # (N,) int32 exclusive cumsum of counts (expansion order)
+    counts: jax.Array  # (N,) int32 KEPT slots per Gaussian (post ellipse-cull)
+    offsets: jax.Array  # (N,) int32 exclusive cumsum of counts — the group
+    # boundaries of the sorted-by-gid gradient reduction (_gather_rows)
     num_tiles: int
     tiles_w: int
     tiles_h: int
+
+
+def _ellipse_tile_cull(
+    rows: jax.Array, tile_x: jax.Array, tile_y: jax.Array, tile_size: int
+) -> jax.Array:
+    """True for slots whose tile the Gaussian's threshold ellipse cannot
+    touch: ``min over the tile's pixel-center rect of q(p)`` (with
+    ``q = a dx^2 + 2b dx dy + c dy^2``, the kernels' ``2 * sigma``) exceeds
+    ``qmax = 2 ln(op / ALPHA_THRESHOLD)``. The continuous minimum lower-bounds
+    every pixel-center value, and a safety margin covers f32 rounding between
+    this bound and the kernels' own sigma arithmetic, so culled pairs are
+    exactly the ones the kernels would skip at EVERY pixel.
+
+    The rect min is at the mean's metric projection: interior if the mean is
+    inside, else the best of the four edges (each a 1D quadratic clamped to
+    [0, 1])."""
+    ca, cb, cd = rows[:, 5], rows[:, 6], rows[:, 7]
+    qmax = rows[:, 8]
+    mx, my = rows[:, 9], rows[:, 10]
+    ts = float(tile_size)
+    x0 = tile_x.astype(jnp.float32) * ts + 0.5
+    x1 = x0 + (ts - 1.0)
+    y0 = tile_y.astype(jnp.float32) * ts + 0.5
+    y1 = y0 + (ts - 1.0)
+
+    inside = (mx >= x0) & (mx <= x1) & (my >= y0) & (my <= y1)
+
+    def edge_min(ex, ey, vx, vy):
+        dx0 = ex - mx
+        dy0 = ey - my
+        q0 = ca * dx0 * dx0 + 2.0 * cb * dx0 * dy0 + cd * dy0 * dy0
+        g = ca * dx0 * vx + cb * (dx0 * vy + dy0 * vx) + cd * dy0 * vy
+        h = ca * vx * vx + 2.0 * cb * vx * vy + cd * vy * vy
+        s = jnp.clip(-g / jnp.maximum(h, 1e-12), 0.0, 1.0)
+        return q0 + 2.0 * s * g + s * s * h
+
+    w = x1 - x0
+    zero = jnp.zeros_like(w)
+    min_q = jnp.minimum(
+        jnp.minimum(edge_min(x0, y0, w, zero), edge_min(x0, y1, w, zero)),
+        jnp.minimum(edge_min(x0, y0, zero, w), edge_min(x1, y0, zero, w)),
+    )
+    min_q = jnp.where(inside, 0.0, min_q)
+
+    # only cull for genuinely PSD conics (the kernels' sigma>=0 skip handles
+    # degenerate ones); margin: absolute 1e-3 + relative 1e-4 over f32 noise
+    psd = (ca > 0) & (ca * cd - cb * cb > 0)
+    return psd & (min_q > qmax * (1.0 + 1e-4) + 1e-3)
 
 
 def build_intersections(
@@ -45,7 +94,16 @@ def build_intersections(
     height: int,
     tile_size: int,
     capacity: int,
+    conics: jax.Array | None = None,
+    opacities: jax.Array | None = None,
 ) -> Intersections:
+    """`conics` (N, 3) + `opacities` (N,) enable the EXACT per-(Gaussian,
+    tile) ellipse cull: a tile none of whose pixel centers can reach
+    ``alpha >= ALPHA_THRESHOLD`` contributes exactly zero to forward and
+    backward (the pixel kernels skip such pairs), so dropping its slot is
+    exact up to f32 summation-order ulps (slot removal regroups the kernels'
+    chunked reductions). The 3-sigma bbox keeps corner tiles the ellipse
+    never touches — ~18% of all intersections at the bench operating point."""
     n = means2d.shape[0]
     tiles_w = -(-width // tile_size)
     tiles_h = -(-height // tile_size)
@@ -72,27 +130,57 @@ def build_intersections(
     gid = jnp.clip(jax.lax.cummax(mark, axis=0), 0, n - 1)
     slot_valid = slots < jnp.minimum(total, capacity)
 
-    # One packed row-gather instead of five scalar gathers.
-    per_g = jnp.stack(
-        [
-            offsets.astype(jnp.float32),
-            tminx.astype(jnp.float32),
-            tminy.astype(jnp.float32),
-            jnp.maximum(dx, 1).astype(jnp.float32),
-            depths.astype(jnp.float32),
-        ],
-        axis=-1,
-    )  # (N, 5) — tile coords and offsets are < 2^24, exact in f32
-    rows = per_g[gid]  # (capacity, 5)
+    # One packed row-gather instead of per-attribute scalar gathers.
+    cols = [
+        offsets.astype(jnp.float32),
+        tminx.astype(jnp.float32),
+        tminy.astype(jnp.float32),
+        jnp.maximum(dx, 1).astype(jnp.float32),
+        depths.astype(jnp.float32),
+    ]
+    if conics is not None:
+        from .rasterize_ref import ALPHA_THRESHOLD
+
+        op = jax.lax.stop_gradient(opacities)
+        con = jax.lax.stop_gradient(conics)
+        # kernel skip: alpha = op * exp(-q/2) < T  <=>  q > 2 ln(op / T)
+        qmax = 2.0 * jnp.log(jnp.maximum(op, 1e-30) / ALPHA_THRESHOLD)
+        m2d = jax.lax.stop_gradient(means2d)
+        cols += [con[:, 0], con[:, 1], con[:, 2], qmax, m2d[:, 0], m2d[:, 1]]
+    per_g = jnp.stack(cols, axis=-1)
+    # (N, 5|11) — tile coords and offsets are < 2^24, exact in f32
+    rows = per_g[gid]  # (capacity, 5|11)
     local = slots - rows[:, 0].astype(jnp.int32)
     gdx = rows[:, 3].astype(jnp.int32)
     tile_x = rows[:, 1].astype(jnp.int32) + local % gdx
     tile_y = rows[:, 2].astype(jnp.int32) + local // gdx
     tile_id = (tile_y * tiles_w + tile_x).astype(jnp.int32)
 
+    if conics is not None:
+        pruned = _ellipse_tile_cull(rows, tile_x, tile_y, tile_size)
+        tile_id = jnp.where(pruned, num_tiles, tile_id)
+        gid = jnp.where(pruned, n, gid)
+        # The per-Gaussian gradient reduction (rasterize_pallas._gather_rows)
+        # groups sorted-by-gid cotangent rows and diffs at boundaries from
+        # `offsets`/`counts`. Pruned slots fall out of their group (gid -> n,
+        # zero pad row), so the boundaries must shrink accordingly. Pruned
+        # flags are in EXPANSION order here — each Gaussian's slots are
+        # contiguous — so per-Gaussian prune counts are one cumsum plus one
+        # boundary gather.
+        pr = (pruned & slot_valid).astype(jnp.int32)
+        cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(pr)])
+        bounds = jnp.clip(
+            jnp.concatenate([offsets, offsets[-1:] + counts[-1:]]), 0, capacity
+        )
+        vals = cs[bounds]  # (N + 1,)
+        counts = counts - (vals[1:] - vals[:-1])
+        offsets = jnp.cumsum(counts) - counts
+
     tile_id = jnp.where(slot_valid, tile_id, num_tiles)
     gid = jnp.where(slot_valid, gid, n)
-    depth_key = jnp.where(slot_valid, rows[:, 4], jnp.inf)
+    depth_key = jnp.where(
+        slot_valid & (tile_id < num_tiles), rows[:, 4], jnp.inf
+    )
 
     tile_sorted, _, gid_sorted = jax.lax.sort(
         (tile_id, depth_key.astype(jnp.float32), gid), num_keys=2
@@ -154,9 +242,12 @@ def build_intersections_segments(
     tile_size: int,
     capacity: int,
     chunk: int,
+    conics: jax.Array | None = None,
+    opacities: jax.Array | None = None,
 ) -> SegmentedIntersections:
     base = build_intersections(
-        means2d, radii, depths, width, height, tile_size, capacity
+        means2d, radii, depths, width, height, tile_size, capacity,
+        conics=conics, opacities=opacities,
     )
     num_tiles = base.num_tiles
     s_cap = segment_capacity_for(capacity, num_tiles, chunk)

@@ -178,7 +178,17 @@ def main():
         help="after stage 1: cluster -> train the control model this many "
         "steps -> eval through the control model (0 = stage 1 only)",
     )
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (the axon sitecustomize ignores "
+        "JAX_PLATFORMS; this must be set before first jax use)",
+    )
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     root = Path(args.out)
     if not (root / "transforms.json").exists():

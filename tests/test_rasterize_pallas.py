@@ -306,3 +306,60 @@ def test_unvisited_chunk_mask_discards_nonfinite_garbage():
     np.testing.assert_array_equal(out[:, 1 * chunk : 2 * chunk], 0.0)
     np.testing.assert_array_equal(out[:, 2 * chunk : 3 * chunk], 1.0)
     np.testing.assert_array_equal(out[:, 3 * chunk : 4 * chunk], 0.0)
+
+
+def test_ellipse_tile_cull_is_bit_exact():
+    """ELLIPSE_CULL drops bbox-corner tiles the threshold ellipse cannot
+    touch. Culled pairs contribute exactly zero (the kernels skip alpha <
+    ALPHA_THRESHOLD at every pixel of a culled tile), so image/alpha/grads
+    must match to summation-order ulps — and the cull must actually fire."""
+    import freegaussian_tpu.ops.rasterize_pallas as rp
+    from freegaussian_tpu.ops.tiles import build_intersections
+
+    # anisotropic conics + low-opacity tail maximize corner-tile pruning
+    means2d, conics, colors, opacities, depths, radii = make_scene(
+        n=120, width=64, height=48, seed=3, opac_scale=0.95
+    )
+    radii = jnp.full_like(radii, 14).at[::13].set(0)
+
+    base = build_intersections(
+        means2d, radii, depths, 64, 48, 16, 1024
+    )
+    culled = build_intersections(
+        means2d, radii, depths, 64, 48, 16, 1024,
+        conics=conics, opacities=opacities,
+    )
+    n_base = int(jnp.sum(base.gauss_ids < means2d.shape[0]))
+    n_cull = int(jnp.sum(culled.gauss_ids < means2d.shape[0]))
+    assert n_cull < n_base, "cull never fired — test scene too easy"
+
+    def run(flag):
+        old = rp.ELLIPSE_CULL
+        rp.ELLIPSE_CULL = flag
+        try:
+            def loss(m, c, col, op):
+                render, alpha, _ = rasterize_pixels_pallas(
+                    m, c, col, op, depths, radii, 64, 48, tile_size=16
+                )
+                return jnp.sum(render * render) + jnp.sum(alpha), (render, alpha)
+
+            (l, (render, alpha)), grads = jax.value_and_grad(
+                loss, argnums=(0, 1, 2, 3), has_aux=True
+            )(means2d, conics, colors, opacities)
+            return l, render, alpha, grads
+        finally:
+            rp.ELLIPSE_CULL = old
+
+    l1, r1, a1, g1 = run(False)
+    l2, r2, a2, g2 = run(True)
+    # culled contributions are exactly zero, but their removal regroups the
+    # kernels' chunked (P,K)@(K,C) reductions -> one-ulp summation-order
+    # differences; anything beyond the ulp class would be a real bug
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=2e-6, rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=2e-6, rtol=2e-6)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    # gradient reduction runs cumsum + boundary diffs (_gather_rows): group
+    # positions shift when slots drop, so grads carry the documented ~2e-4
+    # absolute prefix-sum cancellation class on top of the ulp reordering
+    for x, y in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-4, rtol=1e-2)
