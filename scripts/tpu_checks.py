@@ -1095,6 +1095,18 @@ def main():
         bench.main({}, label="fwd_eo_off")
         rp.BWD_EARLY_OUT = False
         bench.main({}, label="all_eo_off")
+    if "r2ab7" in parts:
+        # ellipse-tile cull (session 3): hardware parity with the cull ON,
+        # then in-process step A/B off vs on
+        sys.path.insert(0, ".")
+        import bench
+        from freegaussian_tpu.ops import rasterize_pallas as rp
+
+        run_xinterp()  # ELLIPSE_CULL defaults True — parity with cull active
+        rp.ELLIPSE_CULL = False
+        bench.main({}, label="cull_off")
+        rp.ELLIPSE_CULL = True
+        bench.main({}, label="cull_on")
     if "r2ab6" in parts:
         # split2 v2 (f32-operand bf16-valued split dots) parity + step A/B
         sys.path.insert(0, ".")
