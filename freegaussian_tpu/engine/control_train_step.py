@@ -86,7 +86,15 @@ def make_control_train_step(
         opt_states = dict(state.opt_states)
         opt_states.update(new_opt_states)
 
+        # same poisoned-state detector as the stage-1 step (train_step.py):
+        # NaN params render as background with a FINITE loss
+        finite = jnp.asarray(True)
+        for v in new_params.values():
+            finite &= jnp.all(jnp.isfinite(v))
+        for leaf in jax.tree.leaves(new_groups["control"]):
+            finite &= jnp.all(jnp.isfinite(leaf))
         metrics = {
+            "params_finite": finite,
             "loss": total,
             "main_loss": losses["main_loss"],
             "psnr": psnr(outputs["rgb"], batch["image"][..., :3]),

@@ -81,6 +81,17 @@ class ControlTrainer(Trainer):
                 last["step"] = i
                 with open(self.metrics_log, "a") as f:
                     f.write(json.dumps(last) + "\n")
+                import numpy as _np
+
+                poisoned = not _np.isfinite(
+                    last.get("loss", 0.0)
+                ) or not last.get("params_finite", 1.0)
+                if cfg.halt_on_nan and poisoned:
+                    raise FloatingPointError(
+                        f"non-finite loss or params at step {i} "
+                        f"(metrics: {last}); stage-2 training halted — see "
+                        "TrainerConfig.halt_on_nan"
+                    )
             if cfg.steps_per_save and (i + 1) % cfg.steps_per_save == 0:
                 self.save(i + 1)
         return last
