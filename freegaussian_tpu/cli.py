@@ -276,12 +276,16 @@ def main(argv=None):
             frame_ids = list(range(len(trainer.datamanager)))
         key_frames = {}
         cameras = {}
+        valids = {}
+        parsed_valids = getattr(trainer.parsed, "mask_valids", None)
         for i in frame_ids:
             f = trainer.datamanager.frames[i]
             if f.atrb_mask is None:
                 continue
             key_frames[i] = f.atrb_mask
             cameras[i] = f.camera
+            if parsed_valids is not None:
+                valids[i] = parsed_valids[i]
         mask = cluster_gaussians(
             trainer.state.params,
             trainer.state.alive,
@@ -290,6 +294,7 @@ def main(argv=None):
             deform_apply=trainer.deform.apply if args.dynamic else None,
             deform_vars=trainer.state.deform_vars if args.dynamic else None,
             dynamic=args.dynamic,
+            mask_valids=valids or None,
         )
         m = mask.shape[1]
         n_live = int(np.asarray(trainer.state.alive).sum())

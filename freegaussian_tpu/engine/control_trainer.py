@@ -171,7 +171,9 @@ class ControlTrainer(Trainer):
         }
 
     def viewer_num_attributes(self) -> int:
-        return max(int(self.gaussian_mask.shape[1]) - 1, 1)
+        # gaussian_mask is (N, M): attribute channels only (the clustering
+        # drops the background channel, matching knn_gaussian.py:128)
+        return max(int(self.gaussian_mask.shape[1]), 1)
 
     def viewer_render_fn(self):
         """Stage-2 viewer: attribute sliders drive the control field

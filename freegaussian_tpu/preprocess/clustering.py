@@ -91,23 +91,43 @@ def vote_gaussian_masks_one_frame(
 def cluster_gaussians(
     params: GaussianParams,
     alive: jax.Array,
-    key_frames: Dict[int, jax.Array],  # frame idx -> (H, W, M) bool mask
+    key_frames: Dict[int, jax.Array],  # frame idx -> (H, W, M+1) bool mask
     cameras: Dict[int, Camera],
     *,
     deform_apply=None,
     deform_vars=None,
     dynamic: bool = False,
     backend: str = "auto",
+    mask_valids: Optional[Dict[int, np.ndarray]] = None,
+    drop_background: bool = True,
 ) -> jax.Array:
-    """OR-accumulate votes over all key frames -> gaussian_mask (N, M)."""
+    """OR-accumulate votes over all key frames -> gaussian_mask (N, M).
+
+    Annotation masks carry the attributes at channels [0, M) and the
+    BACKGROUND at the last channel (ref load_*_annotations builds
+    (H, W, M+1) with `mask_labels[..., -1]` = background); the vote uses
+    only the attribute channels, gated per frame by `mask_valids`
+    (knn_gaussian.py:128: ``atrb_masks[..., :-1] & mask_valids[..., :-1]``).
+    Pass drop_background=False for masks that carry no background channel."""
     n = params["means"].shape[0]
     mask = None
     for idx, atrb in key_frames.items():
+        atrb = jnp.asarray(atrb)
+        if drop_background:
+            atrb = atrb[..., :-1]
+        if mask_valids is not None and idx in mask_valids:
+            valid = jnp.asarray(mask_valids[idx]).reshape(-1)
+            if drop_background:
+                valid = valid[:-1]
+            if valid.shape[0] == atrb.shape[-1]:
+                atrb = atrb & valid[None, None, :]
+            elif not bool(valid.any()):
+                continue  # frame marked wholly invalid
         votes = vote_gaussian_masks_one_frame(
             params,
             alive,
             cameras[idx],
-            jnp.asarray(atrb),
+            atrb,
             deform_apply=deform_apply if dynamic else None,
             deform_vars=deform_vars if dynamic else None,
             backend=backend,

@@ -300,7 +300,7 @@ def main():
         n_live = int(_np.asarray(t.state.alive).sum())
         mask_path = root / f"gaussian_mask_{n_live}x{mask.shape[1]}.npy"
         save_gaussian_mask(mask_path, mask, t.state.alive)
-        frac = float(_np.asarray(mask[:, 1:]).any(-1).mean())
+        frac = float(_np.asarray(mask).any(-1).mean())
         print(f"cluster mask: {mask.shape}, articulated frac {frac:.3f}", flush=True)
 
         cfg2 = dc.replace(

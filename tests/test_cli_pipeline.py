@@ -65,7 +65,8 @@ def test_cli_two_stage_pipeline(tmp_path, cfg_yaml, capsys):
     masks = sorted((tmp_path / "data").glob("gaussian_mask_*.npy"))
     assert masks, "clustering produced no gaussian_mask"
     mask = np.load(masks[0])
-    assert mask.ndim == 2 and mask.shape[1] == 3
+    # (N, M): attribute channels only — background (last) dropped by the vote
+    assert mask.ndim == 2 and mask.shape[1] == 2
     assert masks[0].with_suffix(".ply").exists()
 
     # stage 2

@@ -123,16 +123,19 @@ def test_cluster_gaussians_votes(tmp_path):
         "opacities": jnp.full((capacity, 1), 4.0),
     }
     alive = jnp.asarray(np.arange(capacity) < 3)
-    atrb = np.zeros((32, 32, 2), bool)
+    # reference annotation layout: attributes at [0, M), BACKGROUND last
+    # (load_*_annotations builds (H, W, M+1); knn_gaussian votes [..., :-1])
+    atrb = np.zeros((32, 32, 3), bool)
     atrb[:, :16, 0] = True
     atrb[:, 16:, 1] = True
+    atrb[..., 2] = ~(atrb[..., 0] | atrb[..., 1])
     from freegaussian_tpu.models.splat_model import SplatConfig
 
     mask = cluster_gaussians(
         params, alive, {0: jnp.asarray(atrb)}, {0: cfg}, backend="reference"
     )
     m = np.asarray(mask)
-    assert m.shape == (capacity, 2)
+    assert m.shape == (capacity, 2)  # background channel dropped
     assert m[0, 0] and not m[0, 1]  # left gaussian -> attr 0
     assert m[1, 1] and not m[1, 0]  # right gaussian -> attr 1
     assert not m[3:].any()  # dead slots have no votes
