@@ -363,3 +363,16 @@ def test_live_training_viewer(tmp_path):
         assert jpg[:2] == b"\xff\xd8"  # JPEG magic
     finally:
         server.shutdown()
+
+
+def test_tensorboard_vis_sink(tmp_path):
+    """`vis: tensorboard` writes event files next to metrics.jsonl
+    (the reference's writer config, config/*/base.yaml logging block)."""
+    _make_dataset(tmp_path)
+    trainer = _trainer(tmp_path, vis="tensorboard", steps_per_log=1)
+    if trainer.tb_writer is None:
+        pytest.skip("torch tensorboard writer unavailable in this image")
+    trainer.train(2)
+    trainer.tb_writer.flush()
+    events = list((trainer.out_dir / "tb").glob("events.*"))
+    assert events, "no tensorboard event files written"
