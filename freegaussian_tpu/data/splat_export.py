@@ -27,8 +27,8 @@ def export_splat_ply(path: Path, params, alive) -> int:
     f_rest = np.asarray(params["features_rest"])[alive_np]  # flat (N, (K-1)*3)
     opac = np.asarray(params["opacities"])[alive_np]
     n = means.shape[0]
-    f_rest = f_rest.reshape(n, -1, 3)  # (N, K-1, 3)
-    k_rest = f_rest.shape[1]
+    k_rest = f_rest.shape[1] // 3  # explicit: -1 inference fails at n == 0
+    f_rest = f_rest.reshape(n, k_rest, 3)  # (N, K-1, 3)
 
     # INRIA layout stores rest coefficients channel-major: (3, K-1) flattened.
     f_rest_flat = f_rest.transpose(0, 2, 1).reshape(n, -1)
@@ -90,7 +90,7 @@ def import_splat_ply(path: Path):
         # coefficient-major (models/gaussians.py convention)
         "features_rest": np.ascontiguousarray(
             f_rest.reshape(n, 3, k_rest).transpose(0, 2, 1)
-        ).reshape(n, -1),
+        ).reshape(n, 3 * k_rest),
         "opacities": arr[:, [col["opacity"]]],
         "scales": arr[:, [col["scale_0"], col["scale_1"], col["scale_2"]]],
         "quats": arr[:, [col[f"rot_{i}"] for i in range(4)]],

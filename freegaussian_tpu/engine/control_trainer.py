@@ -65,6 +65,7 @@ class ControlTrainer(Trainer):
 
     def train(self, num_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.config
+        self._maybe_start_viewer()
         n = num_steps if num_steps is not None else cfg.max_num_iterations
         last: Dict[str, float] = {}
         from ..models.splat_model import sh_degree_to_use
@@ -81,9 +82,7 @@ class ControlTrainer(Trainer):
                 last["step"] = i
                 with open(self.metrics_log, "a") as f:
                     f.write(json.dumps(last) + "\n")
-                import numpy as _np
-
-                poisoned = not _np.isfinite(
+                poisoned = not np.isfinite(
                     last.get("loss", 0.0)
                 ) or not last.get("params_finite", 1.0)
                 if cfg.halt_on_nan and poisoned:
@@ -141,6 +140,8 @@ class ControlTrainer(Trainer):
 
         dm = self.eval_datamanager or self.datamanager
         psnrs, ssims = [], []
+        if dump_dir is not None:
+            Path(dump_dir).mkdir(parents=True, exist_ok=True)
         t0 = _time.time()
         n_pix = 0
         count = 0
@@ -157,6 +158,16 @@ class ControlTrainer(Trainer):
             p, s = _quality_metrics(rgb, gt)
             psnrs.append(float(p))
             ssims.append(float(s))
+            if dump_dir is not None:
+                import imageio.v2 as imageio
+
+                pair = np.concatenate(
+                    [np.asarray(gt), np.asarray(rgb)], axis=1
+                )
+                imageio.imwrite(
+                    Path(dump_dir) / f"eval_{count:04d}.png",
+                    (np.clip(pair, 0, 1) * 255).astype(np.uint8),
+                )
             n_pix += camera.width * camera.height
             count += 1
             if max_images and count >= max_images:
@@ -173,7 +184,13 @@ class ControlTrainer(Trainer):
     def viewer_num_attributes(self) -> int:
         # gaussian_mask is (N, M): attribute channels only (the clustering
         # drops the background channel, matching knn_gaussian.py:128)
-        return max(int(self.gaussian_mask.shape[1]), 1)
+        m = int(self.gaussian_mask.shape[1])
+        if m == 0:
+            raise ValueError(
+                "gaussian_mask has no attribute columns — re-run clustering "
+                "(an (N, 0) mask usually means every key frame was skipped)"
+            )
+        return m
 
     def viewer_render_fn(self):
         """Stage-2 viewer: attribute sliders drive the control field

@@ -186,9 +186,10 @@ class Trainer:
                 import warnings
 
                 warnings.warn(f"tensorboard writer unavailable: {e}")
+        # `vis: viewer` starts lazily at train() time, not here: subclass
+        # state the render_fn needs (ControlTrainer.gaussian_mask) is only
+        # assigned after this __init__ returns.
         self._viewer = None
-        if "viewer" in config.vis:
-            self._viewer = self.start_viewer(port=config.viewer_port)
 
     # ------------------------------------------------------------------
     def _eval_render(self):
@@ -318,8 +319,13 @@ class Trainer:
             out["depth0"] = resize_image(out["depth0"], d)
         return cam, out
 
+    def _maybe_start_viewer(self) -> None:
+        if "viewer" in self.config.vis and self._viewer is None:
+            self._viewer = self.start_viewer(port=self.config.viewer_port)
+
     def train(self, num_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.config
+        self._maybe_start_viewer()
         n = num_steps if num_steps is not None else cfg.max_num_iterations
         use_flow = (
             cfg.splat.flow_loss_weight > 0 or cfg.splat.flow_3d_loss_weight > 0
@@ -444,7 +450,6 @@ class Trainer:
         freegaussian_pipeline.py:103-172). `dump_dir` writes gt|pred side-by-
         side PNGs per image (ref :144-147)."""
         dm = self.eval_datamanager or self.datamanager
-        cfg = self.config
         psnrs, ssims, lpipss = [], [], []
         from ..models.metrics import lpips as lpips_fn
         if dump_dir is not None:

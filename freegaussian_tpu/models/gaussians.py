@@ -113,7 +113,7 @@ def colors_from_features(params: GaussianParams) -> jax.Array:
     `features_rest` is stored flat (N, (K-1)*3); the reshape back to
     (N, K-1, 3) is layout-free under the default row-major tiling."""
     rest = params["features_rest"]
-    rest = rest.reshape(rest.shape[0], -1, 3)
+    rest = rest.reshape(rest.shape[0], rest.shape[1] // 3, 3)
     return jnp.concatenate([params["features_dc"][:, None, :], rest], axis=1)
 
 

@@ -95,8 +95,10 @@ def gauss_params_from_torch(
         out[name] = _np(state[key]).astype(np.float32)
     n = out["means"].shape[0]
     # torch stores rest SH coefficients as (N, K-1, 3); in-memory they are
-    # flat (N, (K-1)*3) — see models/gaussians.py.
-    out["features_rest"] = out["features_rest"].reshape(n, -1)
+    # flat (N, (K-1)*3) — see models/gaussians.py. Explicit shape: -1
+    # inference fails for zero-gaussian checkpoints.
+    fr = out["features_rest"]
+    out["features_rest"] = fr.reshape(n, fr.shape[1] * fr.shape[2])
     cap = capacity or n
     if cap < n:
         raise ValueError(f"capacity {cap} < checkpoint gaussians {n}")
@@ -199,7 +201,7 @@ def export_reference_checkpoint(
     for name in ("means", "scales", "quats", "features_dc", "features_rest", "opacities"):
         arr = np.asarray(params[name])[alive_np]
         if name == "features_rest":  # flat (N, (K-1)*3) -> torch (N, K-1, 3)
-            arr = arr.reshape(arr.shape[0], -1, 3)
+            arr = arr.reshape(arr.shape[0], arr.shape[1] // 3, 3)
         state[f"_model.gauss_params.{name}"] = torch.from_numpy(arr.copy())
     if deform_vars is not None:
         for k, v in deform_vars_to_torch(deform_vars, is_blender=is_blender).items():

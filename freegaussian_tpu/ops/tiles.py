@@ -70,20 +70,28 @@ def _ellipse_tile_cull(
         g = ca * dx0 * vx + cb * (dx0 * vy + dy0 * vx) + cd * dy0 * vy
         h = ca * vx * vx + 2.0 * cb * vx * vy + cd * vy * vy
         s = jnp.clip(-g / jnp.maximum(h, 1e-12), 0.0, 1.0)
-        return q0 + 2.0 * s * g + s * s * h
+        # magnitude of the near-cancelling terms: the f32 error of the sum
+        # scales with this, not with qmax (needle conics at bbox corners
+        # reach q0 ~ qmax * aspect^2 with a tiny true minimum)
+        mag = q0 + 2.0 * jnp.abs(s * g) + s * s * h
+        return q0 + 2.0 * s * g + s * s * h, mag
 
     w = x1 - x0
     zero = jnp.zeros_like(w)
-    min_q = jnp.minimum(
-        jnp.minimum(edge_min(x0, y0, w, zero), edge_min(x0, y1, w, zero)),
-        jnp.minimum(edge_min(x0, y0, zero, w), edge_min(x1, y0, zero, w)),
-    )
+    q_b, m_b = edge_min(x0, y0, w, zero)
+    q_t, m_t = edge_min(x0, y1, w, zero)
+    q_l, m_l = edge_min(x0, y0, zero, w)
+    q_r, m_r = edge_min(x1, y0, zero, w)
+    min_q = jnp.minimum(jnp.minimum(q_b, q_t), jnp.minimum(q_l, q_r))
     min_q = jnp.where(inside, 0.0, min_q)
+    mag = jnp.maximum(jnp.maximum(m_b, m_t), jnp.maximum(m_l, m_r))
 
     # only cull for genuinely PSD conics (the kernels' sigma>=0 skip handles
-    # degenerate ones); margin: absolute 1e-3 + relative 1e-4 over f32 noise
+    # degenerate ones); margin: absolute + relative-to-qmax + the
+    # cancellation term (~30 f32 ops -> ~1e-5 relative on `mag`)
     psd = (ca > 0) & (ca * cd - cb * cb > 0)
-    return psd & (min_q > qmax * (1.0 + 1e-4) + 1e-3)
+    margin = 1e-3 + 1e-4 * qmax + 1e-5 * mag
+    return psd & (min_q > qmax + margin)
 
 
 def build_intersections(

@@ -116,13 +116,17 @@ def cluster_gaussians(
         if drop_background:
             atrb = atrb[..., :-1]
         if mask_valids is not None and idx in mask_valids:
-            valid = jnp.asarray(mask_valids[idx]).reshape(-1)
-            if drop_background:
-                valid = valid[:-1]
-            if valid.shape[0] == atrb.shape[-1]:
-                atrb = atrb & valid[None, None, :]
-            elif not bool(valid.any()):
-                continue  # frame marked wholly invalid
+            valid = np.asarray(mask_valids[idx]).reshape(-1)
+            if valid.shape[0] <= 1:
+                # blender annotations carry a single whole-frame flag
+                # (conerf load path, valids = zeros(1)/ones(1))
+                if not bool(valid.all()):
+                    continue
+            else:
+                if drop_background:
+                    valid = valid[:-1]
+                if valid.shape[0] == atrb.shape[-1]:
+                    atrb = atrb & jnp.asarray(valid)[None, None, :]
         votes = vote_gaussian_masks_one_frame(
             params,
             alive,
