@@ -363,3 +363,57 @@ def test_ellipse_tile_cull_is_bit_exact():
     # absolute prefix-sum cancellation class on top of the ulp reordering
     for x, y in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-4, rtol=1e-2)
+
+
+def test_ellipse_tile_cull_needle_conics():
+    """High-aspect (needle) conics maximize f32 cancellation in the edge-min
+    evaluation (q0 ~ qmax * aspect^2 at bbox corners with a tiny true
+    minimum); the magnitude-scaled margin must keep the cull conservative —
+    parity with the cull off stays in the ulp class."""
+    import freegaussian_tpu.ops.rasterize_pallas as rp
+
+    keys = jax.random.split(jax.random.PRNGKey(11), 6)
+    n, W, H = 100, 64, 48
+    means2d = jax.random.uniform(keys[0], (n, 2)) * jnp.array([W, H])
+    # needles: major sigma ~10px, minor ~0.5px, random orientation
+    th = jax.random.uniform(keys[1], (n,), maxval=jnp.pi)
+    c, s = jnp.cos(th), jnp.sin(th)
+    l1, l2 = 100.0, 0.25  # variances px^2 (aspect 20)
+    a_cov = c * c * l1 + s * s * l2
+    b_cov = c * s * (l1 - l2)
+    d_cov = s * s * l1 + c * c * l2
+    det = a_cov * d_cov - b_cov * b_cov
+    conics = jnp.stack([d_cov / det, -b_cov / det, a_cov / det], axis=-1)
+    colors = jax.random.uniform(keys[2], (n, 3))
+    opacities = jax.random.uniform(keys[3], (n,), minval=0.02, maxval=0.99)
+    depths = jnp.linspace(1.0, 5.0, n)
+    radii = jnp.full((n,), 31, dtype=jnp.int32)
+
+    def loss(flag):
+        old = rp.ELLIPSE_CULL
+        rp.ELLIPSE_CULL = flag
+        try:
+            def f(m, c_, col, op):
+                render, alpha, _ = rasterize_pixels_pallas(
+                    m, c_, col, op, depths, radii, W, H, tile_size=16
+                )
+                return jnp.sum(render * render), render
+
+            (l, render), grads = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(
+                means2d, conics, colors, opacities
+            )
+            return l, render, grads
+        finally:
+            rp.ELLIPSE_CULL = old
+
+    l1_, r1, g1 = loss(False)
+    l2_, r2, g2 = loss(True)
+    # the IMAGE stays ulp-exact (a wrongful cull would shift it by at least
+    # ALPHA_THRESHOLD * T ~ 4e-3); gradients carry the prefix-sum
+    # cancellation class of the sort-based reduction, which grows with group
+    # length — needles overlap ~20 tiles each, so allow ~1e-3 absolute
+    # (diagnosed 2026-08-18: cull-on with pruning disabled is BIT-identical,
+    # so the diff is boundary-shift reduction noise, not a wrong cull)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=2e-6, rtol=2e-6)
+    for x, y in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-3, rtol=5e-2)
