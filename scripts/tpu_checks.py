@@ -302,6 +302,47 @@ def run_micro():
 # ---------------------------------------------------------------------------
 
 
+def run_evalperf():
+    """Inference (serving) throughput: the jitted eval forward at the bench
+    operating point — the reference's headline num_rays_per_sec/fps metric
+    class (freegaussian_pipeline.py:149-153). Forward only, scan-timed."""
+    from freegaussian_tpu.data.cameras import Camera
+    from freegaussian_tpu.models.gaussians import init_gaussians
+    from freegaussian_tpu.models.splat_model import (
+        SplatConfig, forward, make_deform_apply, make_deform_field,
+    )
+
+    n_gauss, width, height = 100_000, 640, 480
+    rng = np.random.default_rng(0)
+    seed_xyz = rng.normal(scale=1.0, size=(n_gauss, 3)).astype(np.float32)
+    seed_rgb = rng.uniform(0, 255, size=(n_gauss, 3)).astype(np.float32)
+    params, alive = init_gaussians(
+        jax.random.PRNGKey(0), n_gauss, seed_points=(seed_xyz, seed_rgb), sh_degree=3
+    )
+    params["scales"] = jnp.full_like(params["scales"], jnp.log(0.015))
+    cfg = SplatConfig(warm_up=0, background_color="black", isect_capacity_factor=3)
+    deform = make_deform_field(cfg)
+    deform_apply = make_deform_apply(cfg, deform)
+    dvars = deform.init(jax.random.PRNGKey(1), jnp.zeros((1, 3)), jnp.zeros((1, 1)))
+    c2w = np.eye(4, dtype=np.float32); c2w[2, 3] = 6.0
+    camera = Camera(
+        c2w=jnp.asarray(c2w[:3]), fx=jnp.asarray(500.0), fy=jnp.asarray(500.0),
+        cx=jnp.asarray(width / 2.0), cy=jnp.asarray(height / 2.0),
+        time=jnp.asarray(0.5), width=width, height=height,
+    )
+
+    def render(t):
+        out = forward(
+            cfg, params, alive, camera.replace(time=t),
+            deform_variables=dvars, deform_apply=deform_apply,
+            sh_degree_now=3, warmed_up=jnp.asarray(True), train=False,
+        )
+        return out["rgb"]
+
+    dt = bench_fn("eval render fwd", render, [jnp.asarray(0.5)], iters=30)
+    log(f"eval rays/s: {width * height / dt:.3e}  fps: {1.0 / dt:.1f}")
+
+
 def run_mlp():
     from freegaussian_tpu.models.fields import DeformField
 
@@ -1027,6 +1068,8 @@ def main():
         bench.main()
     if "adam" in parts:
         run_adam_micro()
+    if "evalperf" in parts:
+        run_evalperf()
     if "stepprof" in parts:
         run_stepprof()
     if "stepab" in parts:
