@@ -159,4 +159,21 @@ def main(cfg_overrides=None, label=None):
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # Never leave the driver without a bench line: retry once with the
+        # newest kernel-path features disabled (a hardware-only failure in a
+        # feature that interpret-mode tests cannot reach should cost its
+        # speedup, not the whole measurement).
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print("bench: retrying with conservative kernel flags", file=sys.stderr)
+        from freegaussian_tpu.ops import rasterize_pallas as _rp
+
+        _rp.ELLIPSE_CULL = False
+        _rp.FWD_EARLY_OUT = False
+        _rp.BWD_EARLY_OUT = False
+        main(label="conservative_fallback")
