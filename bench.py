@@ -74,9 +74,6 @@ def main(cfg_overrides=None, label=None):
         ),
     ).astype(np.float32)
     params["opacities"] = jnp.asarray(np.log(op / (1.0 - op)))[:, None]  # logit (N, 1)
-    # capacity factor 3 mirrors the trainer's steady state (it sizes the
-    # intersection pipeline off live counts and grows at 85% occupancy); the
-    # bench scene holds ~260k intersections against the 300k cap.
     cfg = SplatConfig(
         warm_up=0, background_color="black", isect_capacity_factor=3,
         **(cfg_overrides or {}),
@@ -99,6 +96,29 @@ def main(cfg_overrides=None, label=None):
         width=width,
         height=height,
     )
+    # Self-calibrate the intersection capacity the way the Trainer does
+    # (grow at 85% / shrink to 1.5x measured KEPT pairs — with the ellipse
+    # precull, num_isects counts kept pairs, ~2.7x below the bbox totals the
+    # old factor-3 sizing assumed). One extra small compile; every
+    # capacity-sized cost (sort, gathers, cumsum, reduction) then matches a
+    # trainer steady state instead of a 2.7x-oversized pipeline.
+    @jax.jit
+    def _measure_isects(p, dv):
+        out = forward(
+            cfg, p, alive, camera,
+            deform_variables=dv, deform_apply=deform_apply,
+            sh_degree_now=3, warmed_up=jnp.asarray(True),
+            train=True, bg_rng=None,
+        )
+        return out["num_isects"]
+
+    kept = int(_measure_isects(params, dvars))
+    cap_fit = max((int(1.5 * kept) + 127) // 128 * 128, 1 << 14)
+    if cfg.isect_capacity is None or cfg.isect_capacity > cap_fit:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, isect_capacity=cap_fit)
+
     optimizers = make_optimizers(OptimizersConfig(max_steps=30000))
     params_by_group = {k: params[k] for k in GAUSSIAN_GROUPS}
     params_by_group["deform"] = dvars

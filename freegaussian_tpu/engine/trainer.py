@@ -120,6 +120,8 @@ class Trainer:
             k_control, jnp.zeros((1, 3)), jnp.zeros((1, 3))
         )
 
+        self._isect_shrinks = 0
+        self._isect_low_streak = 0
         if config.splat.isect_capacity is None:
             # Size the intersection pipeline off the LIVE Gaussian count, not
             # the padded capacity (6x 2^19 slots would make every sort/gather
@@ -291,9 +293,29 @@ class Trainer:
                 "deepest intersections of the largest Gaussians were DROPPED "
                 "this step (capacity is being grown)"
             )
+        new_cap = None
+        low = num > 0 and num < 0.35 * cap
+        self._isect_low_streak = self._isect_low_streak + 1 if low else 0
         if num > 0.85 * cap:
+            new_cap = 2 * cap
+        elif (
+            low
+            and self._isect_low_streak >= 10  # ~100 steps of stable low
+            and cap > (1 << 14)
+            and self._isect_shrinks < 2
+        ):
+            # SHRINK: with the precull (ops/tiles.py) `num_isects` counts
+            # KEPT pairs, typically ~2.7x below the bbox totals the initial
+            # alive-count sizing assumes — every capacity-sized cost (sort,
+            # gathers, cumsum, reduction) scales with the cap. Hysteresis:
+            # shrink lands at ~67% occupancy, regrow fires at 85%; at most
+            # 2 shrinks per run (each re-jit costs minutes on the tunneled
+            # chip).
+            new_cap = max(int(1.5 * num), 1 << 14)
+            self._isect_shrinks += 1
+        if new_cap is not None:
             splat = dataclasses.replace(
-                self.config.splat, isect_capacity=2 * cap
+                self.config.splat, isect_capacity=new_cap
             )
             self.config = dataclasses.replace(self.config, splat=splat)
             self.step_fn = make_train_step(

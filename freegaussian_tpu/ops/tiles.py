@@ -24,6 +24,9 @@ import jax.numpy as jnp
 
 from .rasterize_ref import tile_bounds
 
+# bbox-tile budget for the pre-expansion ellipse cull (lane-aligned)
+PRECULL_T_MAX = 32
+
 
 class Intersections(NamedTuple):
     gauss_ids: jax.Array  # (I_CAP,) int32 Gaussian index per intersection; N for padding
@@ -41,20 +44,27 @@ class Intersections(NamedTuple):
 def _ellipse_tile_cull(
     rows: jax.Array, tile_x: jax.Array, tile_y: jax.Array, tile_size: int
 ) -> jax.Array:
-    """True for slots whose tile the Gaussian's threshold ellipse cannot
-    touch: ``min over the tile's pixel-center rect of q(p)`` (with
+    """Per-slot form of `_ellipse_cull_test` over gathered packed rows."""
+    return _ellipse_cull_test(
+        rows[:, 5], rows[:, 6], rows[:, 7], rows[:, 8], rows[:, 9],
+        rows[:, 10], tile_x, tile_y, tile_size,
+    )
+
+
+def _ellipse_cull_test(
+    ca, cb, cd, qmax, mx, my, tile_x, tile_y, tile_size: int
+) -> jax.Array:
+    """True where the Gaussian's threshold ellipse cannot touch the tile:
+    ``min over the tile's pixel-center rect of q(p)`` (with
     ``q = a dx^2 + 2b dx dy + c dy^2``, the kernels' ``2 * sigma``) exceeds
     ``qmax = 2 ln(op / ALPHA_THRESHOLD)``. The continuous minimum lower-bounds
     every pixel-center value, and a safety margin covers f32 rounding between
     this bound and the kernels' own sigma arithmetic, so culled pairs are
     exactly the ones the kernels would skip at EVERY pixel.
 
-    The rect min is at the mean's metric projection: interior if the mean is
-    inside, else the best of the four edges (each a 1D quadratic clamped to
-    [0, 1])."""
-    ca, cb, cd = rows[:, 5], rows[:, 6], rows[:, 7]
-    qmax = rows[:, 8]
-    mx, my = rows[:, 9], rows[:, 10]
+    All arguments broadcast; the rect min is at the mean's metric projection:
+    interior if the mean is inside, else the best of the four edges (each a
+    1D quadratic clamped to [0, 1])."""
     ts = float(tile_size)
     x0 = tile_x.astype(jnp.float32) * ts + 0.5
     x1 = x0 + (ts - 1.0)
@@ -104,14 +114,21 @@ def build_intersections(
     capacity: int,
     conics: jax.Array | None = None,
     opacities: jax.Array | None = None,
+    precull: bool = True,
 ) -> Intersections:
     """`conics` (N, 3) + `opacities` (N,) enable the EXACT per-(Gaussian,
     tile) ellipse cull: a tile none of whose pixel centers can reach
     ``alpha >= ALPHA_THRESHOLD`` contributes exactly zero to forward and
     backward (the pixel kernels skip such pairs), so dropping its slot is
     exact up to f32 summation-order ulps (slot removal regroups the kernels'
-    chunked reductions). The 3-sigma bbox keeps corner tiles the ellipse
-    never touches — ~18% of all intersections at the bench operating point."""
+    chunked reductions). At the bench scene the bbox keeps ~2.7x more tiles
+    than the ellipse touches (docs/NOTES_ROUND2.md census).
+
+    With `precull` (default), Gaussians whose bbox fits PRECULL_T_MAX tiles
+    are culled BEFORE slot assignment (dense bbox-grid test + kept-first
+    table), so culled pairs never occupy expansion slots: `num_isects`
+    counts kept pairs and overflow only drops real work. Bigger bboxes use
+    the rectangle expansion with the post-cull."""
     n = means2d.shape[0]
     tiles_w = -(-width // tile_size)
     tiles_h = -(-height // tile_size)
@@ -120,7 +137,49 @@ def build_intersections(
     tminx, tmaxx, tminy, tmaxy = tile_bounds(means2d, radii, tile_size, tiles_w, tiles_h)
     dx = tmaxx - tminx
     dy = tmaxy - tminy
-    counts = jnp.where(radii > 0, dx * dy, 0)  # (N,)
+    counts = jnp.where(radii > 0, dx * dy, 0)  # (N,) bbox tile counts
+
+    tile_tab = None
+    small = None
+    if conics is not None:
+        from .rasterize_ref import ALPHA_THRESHOLD
+
+        op = jax.lax.stop_gradient(opacities)
+        con = jax.lax.stop_gradient(conics)
+        # kernel skip: alpha = op * exp(-q/2) < T  <=>  q > 2 ln(op / T)
+        qmax = 2.0 * jnp.log(jnp.maximum(op, 1e-30) / ALPHA_THRESHOLD)
+        m2d = jax.lax.stop_gradient(means2d)
+
+        if precull:
+            # PRE-expansion cull for Gaussians whose bbox fits T_MAX tiles:
+            # evaluate the ellipse test densely over the bbox grid, compact
+            # the kept tile ids to the front of a per-Gaussian table (stable
+            # lane sort), and count only kept tiles. Culled pairs then never
+            # OCCUPY expansion slots, so `num_isects` (and hence the
+            # caller's capacity sizing / overflow behavior) reflects real
+            # work — at the bench scene this is -63% of slots
+            # (docs/NOTES_ROUND2.md census). Bigger bboxes fall back to the
+            # rectangle expansion + post-cull below.
+            T = PRECULL_T_MAX
+            jj = jnp.arange(T, dtype=jnp.int32)[None, :]
+            dxm = jnp.maximum(dx, 1)[:, None]
+            txg = tminx[:, None] + jj % dxm
+            tyg = tminy[:, None] + jj // dxm
+            small = counts <= T  # (N,)
+            validj = jj < counts[:, None]
+            cull = _ellipse_cull_test(
+                con[:, 0:1], con[:, 1:2], con[:, 2:3], qmax[:, None],
+                m2d[:, 0:1], m2d[:, 1:2], txg, tyg, tile_size,
+            )
+            keepj = validj & ~cull
+            counts = jnp.where(
+                small, jnp.sum(keepj.astype(jnp.int32), axis=1), counts
+            )
+            # kept-first stable compaction of the linear tile ids
+            tile_lin = (tyg * tiles_w + txg).astype(jnp.int32)
+            key = jnp.where(keepj, jj, T + jj)
+            _, tile_tab = jax.lax.sort((key, tile_lin), num_keys=1, dimension=1)
+
     total = jnp.sum(counts)
 
     offsets = jnp.cumsum(counts) - counts  # exclusive cumsum (N,)
@@ -147,17 +206,15 @@ def build_intersections(
         depths.astype(jnp.float32),
     ]
     if conics is not None:
-        from .rasterize_ref import ALPHA_THRESHOLD
-
-        op = jax.lax.stop_gradient(opacities)
-        con = jax.lax.stop_gradient(conics)
-        # kernel skip: alpha = op * exp(-q/2) < T  <=>  q > 2 ln(op / T)
-        qmax = 2.0 * jnp.log(jnp.maximum(op, 1e-30) / ALPHA_THRESHOLD)
-        m2d = jax.lax.stop_gradient(means2d)
         cols += [con[:, 0], con[:, 1], con[:, 2], qmax, m2d[:, 0], m2d[:, 1]]
     per_g = jnp.stack(cols, axis=-1)
-    # (N, 5|11) — tile coords and offsets are < 2^24, exact in f32
-    rows = per_g[gid]  # (capacity, 5|11)
+    if tile_tab is not None:
+        per_g = jnp.concatenate(
+            [per_g, small[:, None].astype(jnp.float32), tile_tab.astype(jnp.float32)],
+            axis=1,
+        )
+    # (N, 5|11|12+T) — tile coords / offsets / table ids are < 2^24, f32-exact
+    rows = per_g[gid]  # (capacity, ...)
     local = slots - rows[:, 0].astype(jnp.int32)
     gdx = rows[:, 3].astype(jnp.int32)
     tile_x = rows[:, 1].astype(jnp.int32) + local % gdx
@@ -165,16 +222,29 @@ def build_intersections(
     tile_id = (tile_y * tiles_w + tile_x).astype(jnp.int32)
 
     if conics is not None:
-        pruned = _ellipse_tile_cull(rows, tile_x, tile_y, tile_size)
+        if tile_tab is not None:
+            # small-bbox slots read their (pre-culled) tile from the table;
+            # their counts are already exact, no post-adjustment needed
+            small_row = rows[:, 11] > 0.5
+            loc = jnp.clip(local, 0, PRECULL_T_MAX - 1)[:, None]
+            tab_tile = jnp.take_along_axis(
+                rows[:, 12 : 12 + PRECULL_T_MAX], loc, axis=1
+            )[:, 0].astype(jnp.int32)
+            tile_id = jnp.where(small_row, tab_tile, tile_id)
+            pruned = (~small_row) & _ellipse_tile_cull(
+                rows, tile_x, tile_y, tile_size
+            )
+        else:
+            pruned = _ellipse_tile_cull(rows, tile_x, tile_y, tile_size)
         tile_id = jnp.where(pruned, num_tiles, tile_id)
         gid = jnp.where(pruned, n, gid)
         # The per-Gaussian gradient reduction (rasterize_pallas._gather_rows)
         # groups sorted-by-gid cotangent rows and diffs at boundaries from
-        # `offsets`/`counts`. Pruned slots fall out of their group (gid -> n,
-        # zero pad row), so the boundaries must shrink accordingly. Pruned
-        # flags are in EXPANSION order here — each Gaussian's slots are
-        # contiguous — so per-Gaussian prune counts are one cumsum plus one
-        # boundary gather.
+        # `offsets`/`counts`. POST-culled slots (big-bbox fallback) fall out
+        # of their group (gid -> n, zero pad row), so the boundaries must
+        # shrink accordingly. Pruned flags are in EXPANSION order here —
+        # each Gaussian's slots are contiguous — so per-Gaussian prune
+        # counts are one cumsum plus one boundary gather.
         pr = (pruned & slot_valid).astype(jnp.int32)
         cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(pr)])
         bounds = jnp.clip(
@@ -252,10 +322,11 @@ def build_intersections_segments(
     chunk: int,
     conics: jax.Array | None = None,
     opacities: jax.Array | None = None,
+    precull: bool = True,
 ) -> SegmentedIntersections:
     base = build_intersections(
         means2d, radii, depths, width, height, tile_size, capacity,
-        conics=conics, opacities=opacities,
+        conics=conics, opacities=opacities, precull=precull,
     )
     num_tiles = base.num_tiles
     s_cap = segment_capacity_for(capacity, num_tiles, chunk)

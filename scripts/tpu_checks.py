@@ -1147,9 +1147,13 @@ def main():
 
         run_xinterp()  # ELLIPSE_CULL defaults True — parity with cull active
         rp.ELLIPSE_CULL = False
-        bench.main({}, label="cull_off")
+        # pin the r2ab4-era capacity: with the cull off, num_isects counts
+        # bbox totals and the self-calibration would blow the cap to ~560k,
+        # exaggerating the A/B
+        bench.main({"isect_capacity": 300_000}, label="cull_off")
         rp.ELLIPSE_CULL = True
-        bench.main({}, label="cull_on")
+        bench.main({"isect_capacity": 300_000}, label="cull_on_cap300k")
+        bench.main({}, label="cull_on_capfit")
     if "r2ab6" in parts:
         # split2 v2 (f32-operand bf16-valued split dots) parity + step A/B
         sys.path.insert(0, ".")

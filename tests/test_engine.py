@@ -376,3 +376,31 @@ def test_tensorboard_vis_sink(tmp_path):
     trainer.tb_writer.flush()
     events = list((trainer.out_dir / "tb").glob("events.*"))
     assert events, "no tensorboard event files written"
+
+
+def test_isect_capacity_auto_shrink(tmp_path):
+    """With the ellipse precull, num_isects counts KEPT pairs; a stably low
+    occupancy (10 logged steps under 35%) shrinks the static capacity to
+    1.5x measured (floor 2^14) — every capacity-sized cost scales with it."""
+    from freegaussian_tpu.models.splat_model import SplatConfig
+
+    _make_dataset(tmp_path)
+    trainer = _trainer(tmp_path, steps_per_log=1, steps_per_eval_image=0,
+                       steps_per_eval_all_images=0)
+    import dataclasses as dc
+
+    trainer.config = dc.replace(
+        trainer.config,
+        splat=dc.replace(trainer.config.splat, isect_capacity=1 << 15),
+    )
+    from freegaussian_tpu.engine.train_step import make_train_step
+
+    trainer.step_fn = make_train_step(
+        trainer.config.splat, trainer.config.densify, trainer.optimizers,
+        trainer.deform_apply, num_train_data=len(trainer.datamanager),
+    )
+    trainer.train(12)
+    assert trainer.config.splat.isect_capacity == 1 << 14, (
+        trainer.config.splat.isect_capacity
+    )
+    assert trainer._isect_shrinks == 1

@@ -417,3 +417,37 @@ def test_ellipse_tile_cull_needle_conics():
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=2e-6, rtol=2e-6)
     for x, y in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-3, rtol=5e-2)
+
+
+def test_precull_matches_postcull_exactly():
+    """Pre-expansion culling (dense bbox-grid test + kept-tile table) must
+    produce the IDENTICAL sorted intersection arrays and reduction
+    boundaries as the post-expansion cull when capacity doesn't overflow —
+    only `num_isects` differs (it now counts kept pairs, so capacity sizing
+    and overflow reflect real work)."""
+    from freegaussian_tpu.ops.tiles import build_intersections
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 6)
+    n, W, H = 300, 128, 96
+    means2d = jax.random.uniform(keys[0], (n, 2)) * jnp.array([W, H])
+    a = jax.random.uniform(keys[1], (n,), minval=0.02, maxval=0.6)
+    c = jax.random.uniform(keys[2], (n,), minval=0.02, maxval=0.6)
+    b = jax.random.uniform(keys[3], (n,), minval=-0.7, maxval=0.7) * jnp.sqrt(a * c)
+    conics = jnp.stack([a, b, c], axis=-1)
+    opac = jax.random.uniform(keys[4], (n,), minval=0.02, maxval=0.99)
+    depths = jnp.linspace(1.0, 5.0, n)
+    # mixed radii: every 7th is big (bbox > PRECULL_T_MAX -> rect fallback)
+    radii = jnp.where(jnp.arange(n) % 7 == 0, 60, 12).astype(jnp.int32)
+    radii = radii.at[::13].set(0)
+
+    kw = dict(width=W, height=H, tile_size=16, capacity=8192,
+              conics=conics, opacities=opac)
+    pre = build_intersections(means2d, radii, depths, **kw, precull=True)
+    post = build_intersections(means2d, radii, depths, **kw, precull=False)
+    assert int(jnp.sum(pre.gauss_ids < n)) == int(jnp.sum(post.gauss_ids < n)) > 0
+    assert int(pre.num_isects) < int(post.num_isects)  # kept-pair accounting
+    for field in ("gauss_ids", "tile_ids", "tile_offsets", "counts", "offsets"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pre, field)), np.asarray(getattr(post, field)),
+            err_msg=field,
+        )
