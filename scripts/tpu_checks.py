@@ -381,6 +381,36 @@ def run_mlp():
     bench_fn("deform bf16 fwd+bwd", lambda x: jax.tree.leaves(g16(vars16, x))[0], [x])
 
 
+def run_fusedsweep():
+    """Backward-block sweep for the fused trunk: the bwd does 3 matmul passes
+    per (block, layer) pair at B=512 — likely MXU-pipeline-latency bound;
+    bf16 remat buffers should let B=1024/2048 fit VMEM and amortize it."""
+    from freegaussian_tpu.models.fields import DeformField, deform_apply_fused
+
+    N = 100_000
+    field = DeformField(is_blender=True, compute_dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (N, 3))
+    t = jnp.full((1, 1), 0.5)
+    v = field.init(jax.random.PRNGKey(1), x, t)
+
+    for block in (512, 1024, 2048):
+        def loss(v, x, _b=block):
+            d_xyz, rot, sc = deform_apply_fused(field, v, x, t, block=_b)
+            return (
+                jnp.sum(d_xyz.w) + jnp.sum(d_xyz.v) + jnp.sum(d_xyz.theta)
+                + jnp.sum(rot) + jnp.sum(sc)
+            )
+
+        g = jax.grad(loss)
+        try:
+            bench_fn(
+                f"fused bwd block={block}",
+                lambda x, _g=g: jax.tree.leaves(_g(v, x))[0], [x],
+            )
+        except Exception as e:  # noqa: BLE001
+            log(f"  fused bwd block={block}: FAILED {type(e).__name__}: {e}")
+
+
 def run_fused():
     """Fused Pallas trunk (ops/mlp_pallas.py) vs the flax bf16 field path on
     hardware: full-field output parity + fwd / fwd+bwd timing at N=100k."""
@@ -1070,6 +1100,8 @@ def main():
         run_adam_micro()
     if "evalperf" in parts:
         run_evalperf()
+    if "fusedsweep" in parts:
+        run_fusedsweep()
     if "stepprof" in parts:
         run_stepprof()
     if "stepab" in parts:
