@@ -11,6 +11,13 @@ slice. The host has few cores, so meshes are capped at the core count.
 
     python scripts/scaling_bench.py [--devices 4] [--gauss 4000] [--size 128]
 
+KNOWN FLAKE (virtual CPU mesh only): at --gauss 4000 the (1, 4) mesh can hit
+the in-process CPU communicator's 40 s collective-permute rendezvous
+watchdog (all 4 virtual devices share 4 cores; one device's thunk schedule
+can starve past the watchdog) and abort the process. The driver's
+multichip dryrun (tiny shapes, (2, 4) mesh) and tests/test_parallel's
+tile=4 loss-parity runs do not hit it. Use --gauss 1000 if it triggers.
+
 Prints one JSON line per mesh shape and a final summary line:
     {"metric": "scaling_efficiency_data2", "value": ..., ...}
 """
