@@ -83,6 +83,24 @@ def main(cfg_overrides=None, label=None):
     deform = make_deform_field(cfg)
     deform_apply = make_deform_apply(cfg, deform)
     dvars = deform.init(jax.random.PRNGKey(1), jnp.zeros((1, 3)), jnp.zeros((1, 1)))
+    # Trained-like deform magnitude: at random init the four output heads
+    # emit O(1) values, and the reference's ADDITIVE d_scaling
+    # (freegaussian_model.py:844) then inflates every Gaussian from the
+    # intended ~4 px to ~20 px screen radius — that's the warm-up-boundary
+    # transient, not the steady state this bench models (trained deform
+    # heads emit small deltas). Scale the head layers down; the trunk keeps
+    # its full compute cost.
+    head_names = sorted(
+        dvars["params"].keys(), key=lambda k: int(k.split("_")[-1])
+    )[-4:]
+    dvars = {
+        "params": {
+            k: (
+                jax.tree.map(lambda a: a * 0.01, v) if k in head_names else v
+            )
+            for k, v in dvars["params"].items()
+        }
+    }
 
     c2w = np.eye(4, dtype=np.float32)
     c2w[2, 3] = 6.0

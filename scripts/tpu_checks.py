@@ -1178,13 +1178,14 @@ def main():
         from freegaussian_tpu.ops import rasterize_pallas as rp
 
         run_xinterp()  # ELLIPSE_CULL defaults True — parity with cull active
+        # NOTE: the bench workload changed 2026-08-18 (trained-like deform
+        # head magnitude — the old runs silently clamped a deform-inflated
+        # ~1.4M-bbox workload at 300k slots; docs/NOTES_ROUND2.md). Both
+        # legs below are HONEST (no overflow): off at the bbox-fitting
+        # capacity, on at the kept-fitting self-calibrated one.
         rp.ELLIPSE_CULL = False
-        # pin the r2ab4-era capacity: with the cull off, num_isects counts
-        # bbox totals and the self-calibration would blow the cap to ~560k,
-        # exaggerating the A/B
-        bench.main({"isect_capacity": 300_000}, label="cull_off")
+        bench.main({"isect_capacity": 768_000}, label="cull_off_honest")
         rp.ELLIPSE_CULL = True
-        bench.main({"isect_capacity": 300_000}, label="cull_on_cap300k")
         bench.main({}, label="cull_on_capfit")
     if "r2ab6" in parts:
         # split2 v2 (f32-operand bf16-valued split dots) parity + step A/B
