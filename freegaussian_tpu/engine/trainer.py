@@ -112,6 +112,25 @@ class Trainer:
         self.deform = make_deform_field(config.splat)
         self.deform_apply = make_deform_apply(config.splat, self.deform)
         deform_vars = self.deform.init(k_deform, jnp.zeros((1, 3)), jnp.zeros((1, 1)))
+        if config.splat.deform_head_init_scale != 1.0:
+            # Soften the warm-up-boundary transient: at random init the
+            # deform output heads emit O(1) values and the ADDITIVE
+            # d_scaling (ref freegaussian_model.py:844) briefly inflates
+            # every Gaussian ~5x in screen radius when warm-up ends — the
+            # intersection-count runaway that drove the round-2 capacity
+            # overflow. Scaling the head layers keeps reference semantics
+            # (1.0 default) but lets configs opt into a gentle start.
+            s = config.splat.deform_head_init_scale
+            heads = sorted(
+                deform_vars["params"].keys(),
+                key=lambda k: int(k.split("_")[-1]),
+            )[-4:]
+            deform_vars = {
+                "params": {
+                    k: (jax.tree.map(lambda a: a * s, v) if k in heads else v)
+                    for k, v in deform_vars["params"].items()
+                }
+            }
         self.control = ControlField()
         from ..models.splat_model import make_control_apply
 

@@ -404,3 +404,34 @@ def test_isect_capacity_auto_shrink(tmp_path):
         trainer.config.splat.isect_capacity
     )
     assert trainer._isect_shrinks == 1
+
+
+def test_deform_head_init_scale(tmp_path):
+    """deform_head_init_scale < 1 shrinks only the four output heads
+    (softening the reference's warm-up-boundary radius transient)."""
+    import dataclasses as dc
+
+    _make_dataset(tmp_path)
+    t1 = _trainer(tmp_path)
+    base = t1.config
+    t2 = _trainer(tmp_path)
+    t2_cfg = dc.replace(
+        base, splat=dc.replace(base.splat, deform_head_init_scale=0.01)
+    )
+    from freegaussian_tpu.engine.trainer import Trainer
+
+    t2 = Trainer(t2_cfg)
+    p1 = t1.state.deform_vars["params"]
+    p2 = t2.state.deform_vars["params"]
+    names = sorted(p1.keys(), key=lambda k: int(k.split("_")[-1]))
+    # same seed: trunk layers identical, head layers scaled by 0.01
+    for k in names[:-4]:
+        np.testing.assert_array_equal(
+            np.asarray(p1[k]["kernel"]), np.asarray(p2[k]["kernel"])
+        )
+    for k in names[-4:]:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]["kernel"]) * 0.01,
+            np.asarray(p2[k]["kernel"]),
+            rtol=1e-6,
+        )
