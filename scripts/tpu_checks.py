@@ -1187,6 +1187,11 @@ def main():
         bench.main({"isect_capacity": 768_000}, label="cull_off_honest")
         rp.ELLIPSE_CULL = True
         bench.main({}, label="cull_on_capfit")
+        from freegaussian_tpu.ops import tiles as _tiles
+
+        _tiles.PRECULL_T_MAX = 16  # halves the dense precull tests; more
+        bench.main({}, label="cull_on_tmax16")  # big-bbox rect fallbacks
+        _tiles.PRECULL_T_MAX = 32
     if "r2ab6" in parts:
         # split2 v2 (f32-operand bf16-valued split dots) parity + step A/B
         sys.path.insert(0, ".")
