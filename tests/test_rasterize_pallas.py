@@ -451,3 +451,33 @@ def test_precull_matches_postcull_exactly():
             np.asarray(getattr(pre, field)), np.asarray(getattr(post, field)),
             err_msg=field,
         )
+
+
+def test_precull_overflow_stays_well_formed():
+    """When kept pairs exceed the static capacity, the precull expansion must
+    clamp like the rect path: padding ids beyond the clamp, monotone
+    tile_offsets bounded by capacity, and num_isects reporting the TRUE kept
+    total so the trainer's growth logic fires."""
+    from freegaussian_tpu.ops.tiles import build_intersections
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 5)
+    n, W, H = 400, 128, 96
+    means2d = jax.random.uniform(keys[0], (n, 2)) * jnp.array([W, H])
+    a = jax.random.uniform(keys[1], (n,), minval=0.02, maxval=0.3)
+    c = jax.random.uniform(keys[2], (n,), minval=0.02, maxval=0.3)
+    conics = jnp.stack([a, jnp.zeros_like(a), c], axis=-1)
+    opac = jnp.full((n,), 0.9)
+    depths = jnp.linspace(1.0, 5.0, n)
+    radii = jnp.full((n,), 20, dtype=jnp.int32)
+
+    cap = 256  # far below the kept total
+    isect = build_intersections(
+        means2d, radii, depths, W, H, 16, cap, conics=conics, opacities=opac
+    )
+    assert int(isect.num_isects) > cap  # growth logic sees the truth
+    to = np.asarray(isect.tile_offsets)
+    assert (np.diff(to) >= 0).all() and to[-1] <= cap
+    gids = np.asarray(isect.gauss_ids)
+    assert ((gids >= 0) & (gids <= n)).all()
+    # every in-range slot references a real gaussian or the padding id
+    assert (np.asarray(isect.counts) >= 0).all()
