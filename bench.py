@@ -22,9 +22,11 @@ import time
 import numpy as np
 
 
-def main(cfg_overrides=None, label=None):
+def main(cfg_overrides=None, label=None, calibrate=True):
     """cfg_overrides: optional dict of SplatConfig field overrides (used by
-    scripts/tpu_checks.py stepab for on-chip A/B runs)."""
+    scripts/tpu_checks.py stepab for on-chip A/B runs). `calibrate=False`
+    pins an explicit `isect_capacity` override instead of shrinking it to
+    the measured-kept fit (for capacity-axis A/B legs)."""
     import jax
 
     jax.config.update("jax_default_matmul_precision", "float32")
@@ -132,6 +134,8 @@ def main(cfg_overrides=None, label=None):
 
     kept = int(_measure_isects(params, dvars))
     cap_fit = max((int(1.5 * kept) + 127) // 128 * 128, 1 << 14)
+    if not calibrate and cfg.isect_capacity is not None:
+        cap_fit = cfg.isect_capacity
     if cfg.isect_capacity is None or cfg.isect_capacity > cap_fit:
         import dataclasses as _dc
 

@@ -186,8 +186,20 @@ FWD_EARLY_OUT = True
 # _ellipse_tile_cull): drops bbox corner tiles the threshold ellipse cannot
 # touch — the kernels skip alpha < ALPHA_THRESHOLD at every pixel of such
 # tiles, so culled pairs contribute exactly zero (removal regroups chunked
-# reductions: ulp-class diffs). ~18% of intersections at the bench point.
-ELLIPSE_CULL = True
+# reductions: ulp-class diffs). DEFAULT OFF: the r2ab7/r2ab8 on-chip
+# factorial (docs/NOTES_ROUND2.md, 2026-08-18) showed that at a trained-like
+# operating point (tight ~4.6px Gaussians, bbox ~= ellipse) the cull prunes
+# little while its binning overhead (per-slot edge tests, wider packed rows,
+# boundary rebase) costs 3-12 ms/step: off 11.2M px/s vs post-cull 7.7M vs
+# precull 5.3M at equal capacity. Enable for dim/anisotropic-heavy scenes
+# (e.g. right after opacity resets or under heavy densification) where the
+# ellipse keeps far fewer tiles than the bbox.
+ELLIPSE_CULL = False
+# Pre-expansion form of the cull (tiles.py dense bbox-grid test): culled
+# pairs never occupy expansion slots, so num_isects counts kept pairs and
+# capacity can be sized to real work. Off = post-expansion cull only
+# (capacity must fit bbox totals, but no dense tests / kept-tile tables).
+PRECULL = True
 
 
 def _prefix_matrix(k: int) -> jax.Array:
@@ -825,6 +837,7 @@ def rasterize_pixels_pallas(
         chunk,
         conics=conics if ELLIPSE_CULL else None,
         opacities=opacities if ELLIPSE_CULL else None,
+        precull=PRECULL,
     )
     tiles_w, tiles_h = isect.tiles_w, isect.tiles_h
     num_tiles = isect.num_tiles

@@ -1192,6 +1192,18 @@ def main():
         _tiles.PRECULL_T_MAX = 16  # halves the dense precull tests; more
         bench.main({}, label="cull_on_tmax16")  # big-bbox rect fallbacks
         _tiles.PRECULL_T_MAX = 32
+    if "r2ab8" in parts:
+        # factorial decomposition of the r2ab7 surprise (cull ON slower than
+        # OFF at the honest workload): {precull on/off} x {capacity}.
+        # Known from r2ab7: off@768k=11.17M, pre_on@capfit(313k)=8.83M.
+        sys.path.insert(0, ".")
+        import bench
+        from freegaussian_tpu.ops import rasterize_pallas as rp
+
+        rp.PRECULL = False
+        bench.main({"isect_capacity": 768_000}, label="postcull_768k", calibrate=False)
+        rp.PRECULL = True
+        bench.main({"isect_capacity": 768_000}, label="precull_768k", calibrate=False)
     if "r2ab6" in parts:
         # split2 v2 (f32-operand bf16-valued split dots) parity + step A/B
         sys.path.insert(0, ".")
