@@ -481,3 +481,37 @@ def test_precull_overflow_stays_well_formed():
     assert ((gids >= 0) & (gids <= n)).all()
     # every in-range slot references a real gaussian or the padding id
     assert (np.asarray(isect.counts) >= 0).all()
+
+
+def test_precull_flag_routes_through_pallas_path():
+    """rasterize_pallas.PRECULL selects the pre- vs post-expansion form of
+    the (flag-gated) ellipse cull inside the full pallas path; both forms
+    keep exactly the same pairs, so forward images must match to the same
+    summation-order ulp class as the cull itself."""
+    import freegaussian_tpu.ops.rasterize_pallas as rp
+
+    means2d, conics, colors, opacities, depths, radii = make_scene(
+        n=100, width=64, height=48, seed=7, opac_scale=0.95
+    )
+    radii = jnp.full_like(radii, 14).at[::11].set(40)  # some rect fallbacks
+
+    def run(precull):
+        old_c, old_p = rp.ELLIPSE_CULL, rp.PRECULL
+        rp.ELLIPSE_CULL, rp.PRECULL = True, precull
+        try:
+            render, alpha, _ = rasterize_pixels_pallas(
+                means2d, conics, colors, opacities, depths, radii,
+                64, 48, tile_size=16,
+            )
+            return render, alpha
+        finally:
+            rp.ELLIPSE_CULL, rp.PRECULL = old_c, old_p
+
+    r_pre, a_pre = run(True)
+    r_post, a_post = run(False)
+    np.testing.assert_allclose(
+        np.asarray(r_pre), np.asarray(r_post), atol=2e-6, rtol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a_pre), np.asarray(a_post), atol=2e-6, rtol=2e-6
+    )
