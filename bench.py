@@ -22,11 +22,13 @@ import time
 import numpy as np
 
 
-def main(cfg_overrides=None, label=None, calibrate=True):
+def main(cfg_overrides=None, label=None, calibrate=True, profile_dir=None):
     """cfg_overrides: optional dict of SplatConfig field overrides (used by
     scripts/tpu_checks.py stepab for on-chip A/B runs). `calibrate=False`
     pins an explicit `isect_capacity` override instead of shrinking it to
-    the measured-kept fit (for capacity-axis A/B legs)."""
+    the measured-kept fit (for capacity-axis A/B legs). `profile_dir`
+    additionally records a jax.profiler trace of the timed run there
+    (tpu_checks `benchprof` parses it into a per-op table)."""
     import jax
 
     jax.config.update("jax_default_matmul_precision", "float32")
@@ -182,6 +184,9 @@ def main(cfg_overrides=None, label=None, calibrate=True):
     losses = run(params, dvars, opt_states)
     jax.block_until_ready(losses)
     dt = (time.time() - t0) / iters
+    if profile_dir is not None:
+        with jax.profiler.trace(profile_dir):
+            jax.block_until_ready(run(params, dvars, opt_states))
 
     pixels_per_sec = width * height / dt
     # North-star target (BASELINE.json): 2x an H100 running gsplat on the

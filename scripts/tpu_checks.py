@@ -609,9 +609,6 @@ def run_fusedmicro():
 def _profile_op_table(tag, fn, args, topk=25):
     """Run fn under jax.profiler.trace and print the top device ops by total
     duration (parsed from the perfetto trace.json.gz — no tensorboard dep)."""
-    import glob
-    import gzip
-    import json
     import shutil
 
     d = f"/tmp/jaxprof_{tag}"
@@ -622,6 +619,14 @@ def _profile_op_table(tag, fn, args, topk=25):
         for _ in range(5):
             r = fn(*args)
         jax.block_until_ready(r)
+    _print_trace_table(tag, d, iters=5, topk=topk)
+
+
+def _print_trace_table(tag, d, iters, topk=25):
+    import glob
+    import gzip
+    import json
+
     files = glob.glob(f"{d}/**/*.trace.json.gz", recursive=True)
     if not files:
         log(f"[prof {tag}] no trace file found under {d}")
@@ -647,9 +652,9 @@ def _profile_op_table(tag, fn, args, topk=25):
         name = e.get("name", "?")
         agg[name] = agg.get(name, 0.0) + e.get("dur", 0)
     items = sorted(agg.items(), key=lambda kv: -kv[1])[:topk]
-    log(f"[prof {tag}] top ops (us total over 5 iters):")
+    log(f"[prof {tag}] top ops (us per iter over {iters} iters):")
     for name, us in items:
-        log(f"    {us/5:10.1f} us  {name[:90]}")
+        log(f"    {us/iters:10.1f} us  {name[:90]}")
 
 
 def run_fusedprof():
@@ -1192,6 +1197,17 @@ def main():
         _tiles.PRECULL_T_MAX = 16  # halves the dense precull tests; more
         bench.main({}, label="cull_on_tmax16")  # big-bbox rect fallbacks
         _tiles.PRECULL_T_MAX = 32
+    if "benchprof" in parts:
+        # per-op profile of the DEFAULT bench configuration (the honest
+        # trained-like workload bench.py measures) — round-3 planning table
+        sys.path.insert(0, ".")
+        import shutil
+
+        import bench
+
+        shutil.rmtree("/tmp/jaxprof_bench", ignore_errors=True)
+        bench.main(label="benchprof", profile_dir="/tmp/jaxprof_bench")
+        _print_trace_table("bench_default", "/tmp/jaxprof_bench", iters=30)
     if "r2ab8" in parts:
         # factorial decomposition of the r2ab7 surprise (cull ON slower than
         # OFF at the honest workload): {precull on/off} x {capacity}.
