@@ -180,10 +180,17 @@ def main(cfg_overrides=None, label=None, calibrate=True, profile_dir=None):
 
     losses = run(params, dvars, opt_states)
     jax.block_until_ready(losses)
-    t0 = time.time()
-    losses = run(params, dvars, opt_states)
-    jax.block_until_ready(losses)
-    dt = (time.time() - t0) / iters
+    # Min over repeated identical runs: the dispatch path needs host CPU
+    # (axon tunnel client), so a transiently loaded host inflates wall time
+    # ~13x against unchanged device time (docs/NOTES_ROUND2.md session-5
+    # incident). The min of three runs of the SAME compiled scan is the
+    # honest device-throughput estimate.
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        losses = run(params, dvars, opt_states)
+        jax.block_until_ready(losses)
+        dt = min(dt, (time.time() - t0) / iters)
     if profile_dir is not None:
         with jax.profiler.trace(profile_dir):
             jax.block_until_ready(run(params, dvars, opt_states))
