@@ -31,6 +31,9 @@ def main(cfg_overrides=None, label=None, calibrate=True, profile_dir=None):
     (tpu_checks `benchprof` parses it into a per-op table)."""
     import jax
 
+    from freegaussian_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     jax.config.update("jax_default_matmul_precision", "float32")
     import jax.numpy as jnp
 

@@ -113,6 +113,9 @@ def main(argv=None):
 
     args = p.parse_args(argv)
 
+    from .utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if args.device != "auto":
         import jax
 

@@ -166,6 +166,13 @@ def make_scene(root: Path, n_frames=40, size=128, n_gauss=600, seed=0):
 
 
 def main():
+    import sys as _sys
+    from pathlib import Path as _P
+
+    _sys.path.insert(0, str(_P(__file__).resolve().parents[1]))
+    from freegaussian_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/qscene")
     ap.add_argument("--steps", type=int, default=2000)

@@ -30,7 +30,18 @@ import os
 import time
 
 
+def _enable_cache():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from freegaussian_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+
 def main():
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=4)
     ap.add_argument("--gauss", type=int, default=4000)

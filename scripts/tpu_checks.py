@@ -28,6 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+from freegaussian_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def log(*a):
     print(*a, flush=True)
