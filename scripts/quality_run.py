@@ -331,7 +331,9 @@ def main():
             "",
             "## Stage-2 control-model run (same scene)",
             "",
-            f"Clustering voted {mask.shape[1] - 1} articulated group(s) onto "
+            # the cluster mask has NO background column (one column per
+            # articulated attribute, session-3 clustering fix)
+            f"Clustering voted {mask.shape[1]} articulated group(s) onto "
             f"{frac:.1%} of the Gaussians; the control MLP then trained "
             f"{args.stage2_steps} steps ({args.stage2_steps / wall2:.1f} "
             "steps/s) from the stage-1 checkpoint (deform frozen, "
