@@ -42,3 +42,33 @@ def test_profiler_utils():
         pass
     s = profiler_summary(reset=True)
     assert "work" in s and "manual" in s
+
+
+def test_splat_ply_viewer_contract(tmp_path):
+    """Pin the binary layout docs/viewer/index.html parses: all-float props,
+    stride = header property count, data exactly n*stride floats after the
+    end_header newline — and document that the data offset is NOT 4-byte
+    aligned (the viewer must slice the buffer, not alias it)."""
+    import re
+
+    params, alive = init_gaussians(
+        jax.random.PRNGKey(0), 32, num_random=20, sh_degree=3
+    )
+    path = tmp_path / "v.ply"
+    n = export_splat_ply(path, params, alive)
+    raw = path.read_bytes()
+    head = raw[:4096].decode("latin-1")
+    end = head.index("end_header")
+    offset = head.index("\n", end) + 1
+    props = re.findall(r"property float (\S+)", head)
+    assert re.search(r"element vertex (\d+)", head).group(1) == str(n)
+    # INRIA field layout the viewer's column lookup requires
+    for name in ("x", "f_dc_0", "opacity", "scale_0", "rot_0"):
+        assert name in props
+    assert (len(raw) - offset) == n * len(props) * 4
+    # the viewer's alignment workaround exists because of this:
+    assert offset % 4 != 0
+    data = np.frombuffer(raw, dtype="<f4", offset=offset).reshape(n, len(props))
+    np.testing.assert_allclose(
+        data[:, :3], np.asarray(params["means"])[np.asarray(alive)], atol=1e-6
+    )
