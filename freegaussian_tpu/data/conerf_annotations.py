@@ -80,6 +80,16 @@ def load_coco_annotations(
     }
 
 
+def coco_num_attributes(path: Path) -> int:
+    """Number of articulated attributes in a COCO annotation file: the max
+    category id (1-based categories map to 0-based attributes)."""
+    tree = json.loads(Path(path).read_text())
+    cats = [int(c["id"]) for c in tree.get("categories", [])]
+    if not cats:
+        cats = [int(a.get("category_id", 1)) for a in tree.get("annotations", [])]
+    return max(cats, default=0)
+
+
 def load_conerf_values(path: Path) -> Dict[str, np.ndarray]:
     """Per-frame scalar attribute states (`annotations/values.json` or
     `values.json`: {fid: [v_0 .. v_{M-1}]}, ref :268-286)."""

@@ -45,11 +45,15 @@ def undistort_frame(
     mask: Optional[np.ndarray] = None,
     depth: Optional[np.ndarray] = None,
     flow: Optional[np.ndarray] = None,
+    atrb_mask: Optional[np.ndarray] = None,
 ):
-    """Joint undistortion of image/mask/depth/flow with ROI crop.
+    """Joint undistortion of image/mask/depth/flow/articulation-masks with
+    ROI crop — every per-pixel array a frame carries must stay aligned with
+    its undistorted image (ref: freegaussian_datamanager.py:239-323
+    _undistort_image_flow).
 
-    Flow endpoints p0 and p0+flow are undistorted separately and re-diffed
-    (ref: freegaussian_datamanager.py:239-323 _undistort_image_flow)."""
+    Flow endpoints p0 and p0+flow are undistorted separately and re-diffed.
+    `atrb_mask` (H, W, M+1) bool is undistorted channel-wise."""
     import cv2
 
     K = K.copy().astype(np.float64)
@@ -72,12 +76,22 @@ def undistort_frame(
     newK[0, 2] -= x
     newK[1, 2] -= y
     if depth is not None:
+        if np.any(dist_cv):
+            depth = cv2.undistort(depth.astype(np.float32), K, dist_cv, None, newK)
         depth = depth[y : y + h, x : x + w]
     if mask is not None:
-        m8 = mask.astype(np.uint8) * 255
+        m8 = np.squeeze(mask).astype(np.uint8) * 255
         if np.any(dist_cv):
             m8 = cv2.undistort(m8, K, dist_cv, None, newK)
         mask = (m8[y : y + h, x : x + w] > 127)
+    if atrb_mask is not None:
+        chans = []
+        for c in range(atrb_mask.shape[-1]):
+            m8 = atrb_mask[..., c].astype(np.uint8) * 255
+            if np.any(dist_cv):
+                m8 = cv2.undistort(m8, K, dist_cv, None, newK)
+            chans.append(m8[y : y + h, x : x + w] > 127)
+        atrb_mask = np.stack(chans, axis=-1)
     if flow is not None:
         if np.any(dist_cv):
             H, W = flow.shape[:2]
@@ -90,7 +104,7 @@ def undistort_frame(
         flow = flow[y : y + h, x : x + w]
     newK[0, 2] += 0.5
     newK[1, 2] += 0.5
-    return newK.astype(np.float32), image, mask, depth, flow
+    return newK.astype(np.float32), image, mask, depth, flow, atrb_mask
 
 
 @dataclasses.dataclass
@@ -154,6 +168,21 @@ class FullImageDatamanager:
             if depth0.ndim == 2:
                 depth0 = depth0[..., None]
 
+        # Foreground loss mask (nerfstudio `mask_path` convention): the loss
+        # blacks out both gt and pred where mask == 0
+        # (ref: freegaussian_model.py:948-957).
+        mask = None
+        if p.mask_filenames is not None:
+            mp = p.mask_filenames[i]
+            if mp is not None and Path(mp).exists():
+                mp = Path(mp)
+                if mp.suffix == ".npy":
+                    mask = np.load(mp)
+                else:
+                    m = imageio.imread(mp)
+                    mask = (m[..., 0] if m.ndim == 3 else m) > 127
+                mask = np.squeeze(np.asarray(mask)).astype(bool)
+
         atrb_mask = p.atrb_masks[i] if p.atrb_masks is not None else None
         mask_valid = p.mask_valids[i] if p.mask_valids is not None else None
 
@@ -161,9 +190,12 @@ class FullImageDatamanager:
             [[p.fx[i], 0, p.cx[i]], [0, p.fy[i], p.cy[i]], [0, 0, 1]], np.float32
         )
         if p.distortion is not None and np.any(p.distortion[i]):
-            K, image, _, _, flow = undistort_frame(
-                K, p.distortion[i], image, flow=flow
+            K, image, mask, depth0, flow, atrb_mask = undistort_frame(
+                K, p.distortion[i], image, mask=mask, depth=depth0, flow=flow,
+                atrb_mask=atrb_mask,
             )
+            if depth0 is not None and depth0.ndim == 2:
+                depth0 = depth0[..., None]
         fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
 
         if not self.cache_uint8 and image.dtype == np.uint8:
@@ -183,15 +215,20 @@ class FullImageDatamanager:
                 height=int(image.shape[0]),
             )
 
-        prev_time_idx = i  # camera0 shares the frame's intrinsics
+        # camera0 shares the frame's intrinsics but carries the PAIRED frame's
+        # own time (`times0` = time of full-capture frame idx-interval); with
+        # interval != 1 or a split, times[i-1] is the WRONG pairing for the
+        # flow losses (ref: freegaussian_dataparser.py:489-512; VERDICT r2 #2).
+        t0 = p.times0[i] if p.times0 is not None else p.times[max(i - 1, 0)]
         cam = make_cam(p.c2w[i], p.times[i])
-        cam0 = make_cam(p.c2w0[i], p.times[max(i - 1, 0)])
+        cam0 = make_cam(p.c2w0[i], t0)
         return CachedFrame(
             image=image,
             camera=cam,
             camera0=cam0,
             flow=flow,
             depth0=depth0,
+            mask=mask,
             atrb_mask=atrb_mask,
             mask_valid=mask_valid,
         )
@@ -234,6 +271,10 @@ class FullImageDatamanager:
         if image.dtype == np.uint8:
             image = image.astype(np.float32) / 255.0
         batch: Dict[str, np.ndarray] = {"image": jnp.asarray(image)}
+        if f.mask is not None:
+            batch["mask"] = jnp.asarray(
+                f.mask.astype(np.float32).reshape(f.mask.shape[0], f.mask.shape[1], 1)
+            )
         if f.flow is not None:
             batch["flow"] = jnp.asarray(f.flow)
         if f.depth0 is not None:

@@ -106,6 +106,7 @@ class ParsedDataset:
     height: int
     times: np.ndarray  # (N,)
     image_filenames: List[Path]
+    times0: Optional[np.ndarray] = None  # (N,) paired-frame (`cameras0`) times
     flow_filenames: Optional[List[Path]] = None
     depth_filenames: Optional[List[Path]] = None
     depth0_filenames: Optional[List[Path]] = None  # paired (prev) frame depth
@@ -170,6 +171,7 @@ def parse_dnerf(
         width=w,
         height=h,
         times=times,
+        times0=times[prev],
         image_filenames=image_filenames,
         seed_points=seed,
     )
@@ -230,9 +232,19 @@ def parse_synthetic(
     h, w = img0.shape[:2]
     focal = 0.5 * w / math.tan(0.5 * float(meta["camera_angle_x"]))
 
-    max_fid = max(int(Path(f["file_path"]).stem.split("_")[-1]) for f in frames)
-    fids = [Path(p).stem.split("_")[-1] for p in image_filenames]
-    times = np.array([int(fid) / max(max_fid, 1) for fid in fids], np.float32)
+    # Times over the FULL capture, then selected — `times0` must pair with
+    # frame idx-interval of the full frame list (the reference stores the
+    # whole previous camera incl. its time, freegaussian_dataparser.py:489-512),
+    # which differs from times[i-1] whenever interval != 1 or the split
+    # removed frames (VERDICT r2 #2).
+    fids_full = [Path(f["file_path"]).stem.split("_")[-1] for f in frames]
+    max_fid = max(int(fid) for fid in fids_full)
+    times_full = np.array(
+        [int(fid) / max(max_fid, 1) for fid in fids_full], np.float32
+    )
+    times = times_full[indices]
+    times0 = times_full[prev][indices]
+    fids = [fids_full[i] for i in indices]
 
     atrb_masks = mask_valids = None
     if load_mask:
@@ -254,6 +266,7 @@ def parse_synthetic(
         width=w,
         height=h,
         times=times,
+        times0=times0,
         image_filenames=image_filenames,
         depth_filenames=depth_filenames,
         depth0_filenames=depth0_filenames,
@@ -292,6 +305,7 @@ def parse_real(
         return float(f.get(key, meta.get(key, 0.0)))
 
     image_filenames = []
+    fg_mask_filenames = []
     poses = []
     fx, fy, cx, cy = [], [], [], []
     distort = []
@@ -301,6 +315,12 @@ def parse_real(
             parts = Path(p)
             p = str(parts.parent / f"images_{downscale_factor}" / parts.name)
         image_filenames.append(data / p)
+        # foreground loss mask (nerfstudio per-frame `mask_path` convention;
+        # feeds batch["mask"] -> the masked L1+SSIM branch,
+        # ref freegaussian_model.py:948-957)
+        fg_mask_filenames.append(
+            data / f["mask_path"] if "mask_path" in f else None
+        )
         poses.append(np.array(f["transform_matrix"], np.float32))
         fx.append(frame_intrinsic(f, "fl_x") / downscale_factor)
         fy.append(frame_intrinsic(f, "fl_y") / downscale_factor)
@@ -388,8 +408,14 @@ def parse_real(
         width=w,
         height=h,
         times=times[indices],
+        times0=times[prev][indices],
         image_filenames=image_filenames,
         flow_filenames=sel(flow_filenames) if load_flow else None,
+        mask_filenames=(
+            sel(fg_mask_filenames)
+            if any(m is not None for m in fg_mask_filenames)
+            else None
+        ),
         atrb_masks=atrb_masks,
         mask_valids=mask_valids,
         seed_points=seed,
@@ -452,20 +478,25 @@ def parse_conerf(
     # (ref: freegaussian_dataparser.py:489-512).
     id_to_idx = {fid: i for i, fid in enumerate(all_ids)}
     cam_cache = {}
+    prev_idxs = []
     for fid in ids:
         c2w, focal, pp = load_cam(fid)
         cams.append(c2w)
         focals.append(focal)
         pps.append(pp)
         image_filenames.append(data / "rgb" / f"{downscale}x" / f"{fid}.png")
-        prev_fid = all_ids[max(id_to_idx[fid] - interval, 0)]
+        prev_idx = max(id_to_idx[fid] - interval, 0)
+        prev_idxs.append(prev_idx)
+        prev_fid = all_ids[prev_idx]
         if prev_fid not in cam_cache:
             cam_cache[prev_fid] = load_cam(prev_fid)[0]
         cams0.append(cam_cache[prev_fid])
 
-    # times from frame index over the full capture (ref :485-487)
+    # times from frame index over the full capture (ref :485-487); times0 is
+    # the paired frame's OWN time (ref :489-512 stores the whole camera0)
     max_idx = max(len(all_ids) - 1, 1)
     times = np.array([id_to_idx[fid] / max_idx for fid in ids], np.float32)
+    times0 = np.array([i / max_idx for i in prev_idxs], np.float32)
 
     n = len(ids)
     import imageio.v2 as imageio
@@ -484,7 +515,21 @@ def parse_conerf(
     # Hand-annotated articulation masks (polygon json per key frame) and
     # per-frame attribute values (ref: freegaussian_dataparser.py:156-286).
     atrb_masks = mask_valids = None
-    if load_mask and (data / "annotations").exists():
+    coco_json = data / "annotations.coco.json"
+    if load_mask and coco_json.exists():
+        # dmode="coco": one COCO json over the capture
+        # (ref: freegaussian_dataparser.py:309, :564-566)
+        from .conerf_annotations import coco_num_attributes, load_coco_annotations
+
+        m = coco_num_attributes(coco_json)
+        per_stem = load_coco_annotations(coco_json, h, w, m, downscale)
+        masks = [
+            per_stem.get(str(fid), np.zeros((h, w, m + 1), bool)) for fid in ids
+        ]
+        atrb_masks = np.stack(masks)
+        sums = atrb_masks.sum(axis=(1, 2))
+        mask_valids = (sums == 0) | (sums > h * w / 300)
+    elif load_mask and (data / "annotations").exists():
         from .conerf_annotations import (
             discover_num_attributes,
             load_blender_annotations,
@@ -547,6 +592,7 @@ def parse_conerf(
         width=w,
         height=h,
         times=times,
+        times0=times0,
         image_filenames=image_filenames,
         atrb_masks=atrb_masks,
         mask_valids=mask_valids,

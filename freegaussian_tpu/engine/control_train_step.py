@@ -98,6 +98,9 @@ def make_control_train_step(
             "loss": total,
             "main_loss": losses["main_loss"],
             "psnr": psnr(outputs["rgb"], batch["image"][..., :3]),
+            "gaussian_count": jnp.sum(state.alive),
+            # feeds the shared trainer's isect-capacity self-tuning
+            "num_isects": outputs["num_isects"],
         }
         new_state = state.replace(
             params=new_params,

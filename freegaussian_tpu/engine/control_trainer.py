@@ -54,8 +54,17 @@ class ControlTrainer(Trainer):
         # init camera := first train camera (freegaussian_pipeline.py:41-42)
         self.init_time = self.datamanager.frames[0].camera.time
 
+        self._rebuild_step_fn()
+
+    def _rebuild_step_fn(self) -> None:
+        """Stage-2 step (also rebuilt by the base class's isect-capacity
+        self-tuning, which stage-2 now shares — VERDICT r2 #7)."""
+        if not hasattr(self, "gaussian_mask"):
+            # called from Trainer.__init__ before stage-2 state exists; the
+            # real build happens at the end of our own __init__
+            return
         self.control_step_fn = make_control_train_step(
-            config.splat,
+            self.config.splat,
             self.optimizers,
             self.control_apply,
             self.deform_apply,
@@ -63,37 +72,30 @@ class ControlTrainer(Trainer):
             self.init_time,
         )
 
-    def train(self, num_steps: Optional[int] = None) -> Dict[str, float]:
-        cfg = self.config
-        self._maybe_start_viewer()
-        n = num_steps if num_steps is not None else cfg.max_num_iterations
-        last: Dict[str, float] = {}
+    def _dispatch_step(self, i, idx, camera, batch):
+        """One stage-2 step under the SHARED Trainer.train cadence loop
+        (eval/save/steps-per-sec/NaN-watchdog/capacity-tuning run exactly as
+        in stage 1; the reference uses one Trainer for both stages,
+        freegaussian_config.py:31-34)."""
         from ..models.splat_model import sh_degree_to_use
         from .trainer import downscale_phase
 
-        for i in range(int(self.state.step), int(self.state.step) + n):
-            camera, batch = self.datamanager.next_train(i)
-            d = downscale_phase(cfg.splat, i)
-            camera, batch = self._downscale_batch(camera, batch, d)
-            sh_deg = sh_degree_to_use(cfg.splat, i)
-            self.state, metrics = self.control_step_fn(self.state, camera, batch, sh_deg)
-            if i % cfg.steps_per_log == 0:
-                last = {k: float(v) for k, v in metrics.items()}
-                last["step"] = i
-                with open(self.metrics_log, "a") as f:
-                    f.write(json.dumps(last) + "\n")
-                poisoned = not np.isfinite(
-                    last.get("loss", 0.0)
-                ) or not last.get("params_finite", 1.0)
-                if cfg.halt_on_nan and poisoned:
-                    raise FloatingPointError(
-                        f"non-finite loss or params at step {i} "
-                        f"(metrics: {last}); stage-2 training halted — see "
-                        "TrainerConfig.halt_on_nan"
-                    )
-            if cfg.steps_per_save and (i + 1) % cfg.steps_per_save == 0:
-                self.save(i + 1)
-        return last
+        cfg = self.config
+        d = downscale_phase(cfg.splat, i)
+        camera, batch = self._downscale_batch(camera, batch, d)
+        sh_deg = sh_degree_to_use(cfg.splat, i)
+        return self.control_step_fn(self.state, camera, batch, sh_deg)
+
+    def _render_rgb(self, camera) -> jax.Array:
+        """Stage-2 single-image render (train-mode control state) — makes the
+        inherited eval_one cadence render through the CONTROL model."""
+        return self._control_eval_render()(
+            self.state.params,
+            self.state.alive,
+            camera,
+            self.state.control_vars,
+            self.state.deform_vars,
+        )
 
     def _control_eval_render(self):
         """Cached jitted stage-2 inference render (train-mode control state);
@@ -128,58 +130,11 @@ class ControlTrainer(Trainer):
             self._ctrl_eval_cfg = cfg
         return self._ctrl_eval_cache
 
-    def eval_all(self, max_images=None, dump_dir=None) -> Dict[str, float]:
-        """Stage-2 eval renders through the CONTROL model with the train-mode
-        control state (deform displacement between init and frame time) —
-        the stage-1 eval path would ignore the control field entirely.
-        (ref: control model get_outputs train branch, freegaussian_control_model.py:128-140)
-        """
-        import time as _time
-
-        from .trainer import _quality_metrics
-
-        dm = self.eval_datamanager or self.datamanager
-        psnrs, ssims = [], []
-        if dump_dir is not None:
-            Path(dump_dir).mkdir(parents=True, exist_ok=True)
-        t0 = _time.time()
-        n_pix = 0
-        count = 0
-        render = self._control_eval_render()
-        for camera, batch in dm.eval_frames():
-            rgb = render(
-                self.state.params,
-                self.state.alive,
-                camera,
-                self.state.control_vars,
-                self.state.deform_vars,
-            )
-            gt = batch["image"][..., :3]
-            p, s = _quality_metrics(rgb, gt)
-            psnrs.append(float(p))
-            ssims.append(float(s))
-            if dump_dir is not None:
-                import imageio.v2 as imageio
-
-                pair = np.concatenate(
-                    [np.asarray(gt), np.asarray(rgb)], axis=1
-                )
-                imageio.imwrite(
-                    Path(dump_dir) / f"eval_{count:04d}.png",
-                    (np.clip(pair, 0, 1) * 255).astype(np.uint8),
-                )
-            n_pix += camera.width * camera.height
-            count += 1
-            if max_images and count >= max_images:
-                break
-        wall = _time.time() - t0
-        return {
-            "psnr": float(np.mean(psnrs)),
-            "ssim": float(np.mean(ssims)),
-            "num_rays_per_sec": n_pix / wall,
-            "fps": count / wall,
-            "gaussian_count": int(jnp.sum(self.state.alive)),
-        }
+    # eval_all / eval_one are inherited: they render via the overridden
+    # _render_rgb, i.e. through the CONTROL model with the train-mode control
+    # state (deform displacement between init and frame time) — the stage-1
+    # eval path would ignore the control field entirely (ref: control model
+    # get_outputs train branch, freegaussian_control_model.py:128-140).
 
     def viewer_num_attributes(self) -> int:
         # gaussian_mask is (N, M): attribute channels only (the clustering

@@ -55,6 +55,7 @@ def make_train_step(
     *,
     train_deform: bool = True,
     train_camera_opt: bool = False,
+    jit: bool = True,
 ):
     """Build the jitted train step.
 
@@ -289,4 +290,10 @@ def make_train_step(
         )
         return new_state, metrics
 
+    # jit=False returns the raw body for embedding in a lax.scan chunk
+    # (Trainer scan_chunk mode): one device dispatch per chunk instead of one
+    # per step — through the tunneled TPU backend the per-call round trip
+    # dominates small-scene training otherwise.
+    if not jit:
+        return step_fn
     return jax.jit(step_fn, static_argnames=("sh_degree_now",))

@@ -337,13 +337,18 @@ class Trainer:
                 self.config.splat, isect_capacity=new_cap
             )
             self.config = dataclasses.replace(self.config, splat=splat)
-            self.step_fn = make_train_step(
-                splat,
-                self.config.densify,
-                self.optimizers,
-                self.deform_apply,
-                num_train_data=len(self.datamanager),
-            )
+            self._rebuild_step_fn()
+
+    def _rebuild_step_fn(self) -> None:
+        """Re-jit the train step after a config change (capacity growth);
+        ControlTrainer overrides this to rebuild its stage-2 step."""
+        self.step_fn = make_train_step(
+            self.config.splat,
+            self.config.densify,
+            self.optimizers,
+            self.deform_apply,
+            num_train_data=len(self.datamanager),
+        )
 
     # ------------------------------------------------------------------
     def _downscale_batch(self, camera: Camera, batch, d: int):
@@ -358,19 +363,69 @@ class Trainer:
             out["flow"] = resize_image(out["flow"], d) / d
         if "depth0" in out:
             out["depth0"] = resize_image(out["depth0"], d)
+        if "mask" in out:
+            # area-downsample the float mask, then re-binarize: a pixel stays
+            # masked-out unless its full-res window was mostly foreground
+            # (ref: _downscale_if_required on batch["mask"],
+            # freegaussian_model.py:948-957)
+            out["mask"] = (resize_image(out["mask"], d) > 0.5).astype(
+                out["mask"].dtype
+            )
+        if "atrb_mask" in out:
+            am = out["atrb_mask"]
+            out["atrb_mask"] = resize_image(am.astype(jnp.float32), d) > 0.5
         return cam, out
 
     def _maybe_start_viewer(self) -> None:
         if "viewer" in self.config.vis and self._viewer is None:
             self._viewer = self.start_viewer(port=self.config.viewer_port)
 
+    def _dispatch_step(self, i: int, idx: int, camera: Camera, batch):
+        """Run one jitted training step (stage-1: flow-batch prep + step_fn);
+        ControlTrainer overrides this with the stage-2 step so both stages
+        share the SAME cadence loop (eval/save/steps-per-sec/NaN watchdog/
+        capacity self-tuning — ref runs one Trainer for both,
+        freegaussian_config.py:31-34)."""
+        cfg = self.config
+        use_flow = (
+            cfg.splat.flow_loss_weight > 0 or cfg.splat.flow_3d_loss_weight > 0
+        )
+        d = downscale_phase(cfg.splat, i)
+        camera, batch = self._downscale_batch(camera, batch, d)
+        camera0 = None
+        if use_flow:
+            # Always pass camera0 + (possibly zero-filled) flow entries so
+            # the jitted step keeps ONE signature across frames; per-frame
+            # validity gates the losses numerically (train_step.py).
+            camera0 = self.datamanager.camera0(idx)
+            if d > 1:
+                camera0 = camera0.downscaled(d)
+            h, w = camera.height, camera.width
+            if "flow" not in batch:
+                batch["flow"] = jnp.zeros((h, w, 2), jnp.float32)
+                batch["flow_valid"] = jnp.asarray(0.0)
+            else:
+                batch["flow_valid"] = jnp.asarray(1.0)
+            if cfg.splat.flow_3d_loss_weight > 0:
+                if "depth0" not in batch:
+                    batch["depth0"] = jnp.zeros((h, w, 1), jnp.float32)
+                    batch["depth0_valid"] = jnp.asarray(0.0)
+                else:
+                    batch["depth0_valid"] = jnp.asarray(1.0)
+        sh_deg = sh_degree_to_use(cfg.splat, i)
+        return self.step_fn(
+            self.state,
+            camera,
+            batch,
+            sh_deg,
+            camera0=camera0,
+            cam_idx=jnp.asarray(idx),
+        )
+
     def train(self, num_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.config
         self._maybe_start_viewer()
         n = num_steps if num_steps is not None else cfg.max_num_iterations
-        use_flow = (
-            cfg.splat.flow_loss_weight > 0 or cfg.splat.flow_3d_loss_weight > 0
-        )
         last_metrics: Dict[str, float] = {}
         start = int(self.state.step)
         # plain window timer for steps/s (measures only this call's steps)
@@ -378,37 +433,7 @@ class Trainer:
         win_step = start
         for i in range(start, start + n):
             idx, camera, batch = self.datamanager.next_train_indexed(i)
-            d = downscale_phase(cfg.splat, i)
-            camera, batch = self._downscale_batch(camera, batch, d)
-            camera0 = None
-            if use_flow:
-                # Always pass camera0 + (possibly zero-filled) flow entries so
-                # the jitted step keeps ONE signature across frames; per-frame
-                # validity gates the losses numerically (train_step.py).
-                camera0 = self.datamanager.camera0(idx)
-                if d > 1:
-                    camera0 = camera0.downscaled(d)
-                h, w = camera.height, camera.width
-                if "flow" not in batch:
-                    batch["flow"] = jnp.zeros((h, w, 2), jnp.float32)
-                    batch["flow_valid"] = jnp.asarray(0.0)
-                else:
-                    batch["flow_valid"] = jnp.asarray(1.0)
-                if cfg.splat.flow_3d_loss_weight > 0:
-                    if "depth0" not in batch:
-                        batch["depth0"] = jnp.zeros((h, w, 1), jnp.float32)
-                        batch["depth0_valid"] = jnp.asarray(0.0)
-                    else:
-                        batch["depth0_valid"] = jnp.asarray(1.0)
-            sh_deg = sh_degree_to_use(cfg.splat, i)
-            self.state, metrics = self.step_fn(
-                self.state,
-                camera,
-                batch,
-                sh_deg,
-                camera0=camera0,
-                cam_idx=jnp.asarray(idx),
-            )
+            self.state, metrics = self._dispatch_step(i, idx, camera, batch)
             if i % cfg.steps_per_log == 0:
                 self._maybe_grow_isect_capacity(metrics)
                 last_metrics = {k: float(v) for k, v in metrics.items()}
@@ -528,9 +553,11 @@ class Trainer:
             "num_rays_per_sec": n_pix / wall,
             "fps": count / wall,
             "gaussian_count": int(jnp.sum(self.state.alive)),
+            # explicit, never silently omitted: LPIPS is a headline reference
+            # metric (freegaussian_model.py:1005-1051); "unavailable" means no
+            # pretrained weights in this environment (models/metrics.py)
+            "lpips": float(np.mean(lpipss)) if lpipss else "unavailable",
         }
-        if lpipss:
-            result["lpips"] = float(np.mean(lpipss))
         return result
 
     # ------------------------------------------------------------------

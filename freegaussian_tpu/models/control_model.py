@@ -140,6 +140,13 @@ def control_forward(
         alive=alive,
         means2d_sink=means2d_sink,
         backend=cfg.backend,
+        chunk=cfg.chunk,
+        isect_capacity=(
+            cfg.isect_capacity
+            if cfg.isect_capacity is not None
+            else cfg.isect_capacity_factor * params["means"].shape[0]
+        ),
+        tight_radius=cfg.tight_radius,
     )
     bg = background_color(cfg, bg_rng, train)
     rgb = jnp.clip(render[0, ..., :3] + (1.0 - alpha[0]) * bg, 0.0, 1.0)
@@ -149,6 +156,7 @@ def control_forward(
         "background": bg,
         "radii": info.radii,
         "means2d": info.means2d,
+        "num_isects": info.num_isects,
         "control_state": d_avg,
     }
     if render_mode == "RGB+ED":

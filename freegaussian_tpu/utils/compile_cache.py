@@ -14,7 +14,12 @@ from __future__ import annotations
 
 import os
 
-_DEFAULT_DIR = "/tmp/freegaussian_jax_cache"
+# Per-user default: a fixed path in world-writable /tmp can be pre-created
+# (squatted) by another user on a shared machine — cache poisoning or
+# permission failures — and is lost on reboot.
+_DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~/.cache"), "freegaussian_jax_cache"
+)
 
 
 def enable_persistent_cache() -> str | None:

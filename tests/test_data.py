@@ -149,7 +149,7 @@ def test_undistort_frame_identity_when_no_distortion():
     K = np.array([[30.0, 0, 16], [0, 30.0, 12], [0, 0, 1]], np.float32)
     img = np.random.default_rng(0).uniform(0, 255, (24, 32, 3)).astype(np.uint8)
     flow = np.random.default_rng(1).normal(size=(24, 32, 2)).astype(np.float32)
-    K2, img2, _, _, flow2 = undistort_frame(K, np.zeros(6), img, flow=flow)
+    K2, img2, _, _, flow2, _ = undistort_frame(K, np.zeros(6), img, flow=flow)
     np.testing.assert_allclose(K2, K, atol=1e-5)
     np.testing.assert_array_equal(img2, img)
     np.testing.assert_allclose(flow2, flow)
@@ -267,3 +267,138 @@ def test_parse_conerf_dataset(tmp_path):
     assert parsed.atrb_masks[0, :, :, 1].any()
     # times from global frame index
     np.testing.assert_allclose(parsed.times, [0, 1 / 3, 2 / 3], atol=1e-6)
+
+
+def test_times0_pairing_under_interval_and_split(tmp_path):
+    """camera0.time must equal the FULL capture's times[idx - interval], not
+    times[i-1] of the selected split (VERDICT r2 #2; the reference stores the
+    whole paired camera incl. its time, freegaussian_dataparser.py:489-512)."""
+    make_synthetic_dataset(tmp_path, n=10)
+    parsed = parse_synthetic(tmp_path, "train", interval=2)
+    # full capture: fids 0..9, times_full = fid/9; split 0.9 keeps 9 frames
+    i_train, _ = train_eval_split_fraction(10, 0.9)
+    times_full = np.arange(10) / 9.0
+    assert parsed.times0 is not None
+    for row, full_idx in enumerate(i_train):
+        expect = times_full[max(full_idx - 2, 0)]
+        assert parsed.times0[row] == pytest.approx(expect, abs=1e-6), (
+            f"row {row} (full idx {full_idx})"
+        )
+    # the old bug: selected-row i-1 differs from full-capture idx-2 here
+    assert parsed.times0[2] != pytest.approx(parsed.times[1], abs=1e-6)
+    # the datamanager must carry it onto camera0
+    dm = FullImageDatamanager(parsed)
+    for row, full_idx in enumerate(i_train):
+        assert float(dm.camera0(row).time) == pytest.approx(
+            times_full[max(full_idx - 2, 0)], abs=1e-6
+        )
+
+
+def test_foreground_mask_feeds_batch_and_loss(tmp_path):
+    """mask_path frames populate batch["mask"], and the masked L1+SSIM branch
+    (splat_model.loss_fn) actually changes the loss (VERDICT r2 #4;
+    ref freegaussian_model.py:948-957)."""
+    import imageio.v2 as imageio
+    import jax.numpy as jnp
+
+    from freegaussian_tpu.models.splat_model import SplatConfig, loss_fn
+
+    frames = []
+    for i in range(4):
+        name = f"images/frame_{i:05d}"
+        _write_png(tmp_path / (name + ".png"), h=24, w=32, seed=i)
+        m = np.zeros((24, 32), np.uint8)
+        m[:, :16] = 255
+        (tmp_path / "masks").mkdir(exist_ok=True)
+        imageio.imwrite(tmp_path / f"masks/frame_{i:05d}.png", m)
+        c2w = np.eye(4)
+        c2w[2, 3] = 2.0
+        frames.append({
+            "file_path": f"{name}.png",
+            "mask_path": f"masks/frame_{i:05d}.png",
+            "transform_matrix": c2w.tolist(),
+        })
+    meta = {"fl_x": 35.0, "fl_y": 35.0, "cx": 16.0, "cy": 12.0, "frames": frames}
+    (tmp_path / "transforms.json").write_text(json.dumps(meta))
+    parsed = parse_real(tmp_path, "train", load_flow=False, load_mask=False)
+    assert parsed.mask_filenames is not None
+    dm = FullImageDatamanager(parsed)
+    cam, batch = dm.get_batch(0)
+    assert "mask" in batch and batch["mask"].shape == (24, 32, 1)
+    assert float(batch["mask"][:, :16].min()) == 1.0
+    assert float(batch["mask"][:, 16:].max()) == 0.0
+
+    cfg = SplatConfig()
+    outputs = {
+        "rgb": jnp.ones((24, 32, 3)) * 0.5,
+        "background": jnp.zeros(3),
+    }
+    alive = jnp.ones((8,), bool)
+    params = {"scales": jnp.zeros((8, 3))}
+    with_mask = loss_fn(cfg, outputs, batch, params, alive)
+    without = loss_fn(cfg, outputs, {"image": batch["image"]}, params, alive)
+    assert float(with_mask["main_loss"]) != pytest.approx(
+        float(without["main_loss"]), abs=1e-6
+    )
+
+
+def test_undistorted_masks_stay_aligned_with_image(tmp_path):
+    """With real distortion, the foreground mask and articulation masks must
+    go through the SAME undistortion as the image (VERDICT r2 #4: before the
+    fix, atrb_masks stayed distorted). Property: a mask derived from image
+    content still matches that content after joint undistortion."""
+    h, w = 48, 64
+    img = np.zeros((h, w, 3), np.uint8)
+    img[8:32, 10:40] = 255  # bright rectangle
+    mask = img[..., 0] > 127
+    atrb = np.stack([mask, ~mask], axis=-1)
+    K = np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], np.float32)
+    dist = np.array([-0.25, 0.05, 0, 0, 0, 0], np.float32)  # strong barrel
+    K2, img2, mask2, _, _, atrb2 = undistort_frame(
+        K, dist, img, mask=mask, atrb_mask=atrb
+    )
+    img_mask2 = img2[..., 0] > 127
+    mismatch = (mask2 != img_mask2).mean()
+    assert mismatch < 0.02, f"fg mask misaligned after undistort: {mismatch:.3f}"
+    mismatch_a = (atrb2[..., 0] != img_mask2).mean()
+    assert mismatch_a < 0.02, f"atrb mask misaligned: {mismatch_a:.3f}"
+    # without the fix the distorted mask disagrees with the undistorted image
+    y, x = 0, 0
+    hh, ww = img_mask2.shape
+    raw_crop = mask[:hh, :ww]
+    assert (raw_crop != img_mask2).mean() > mismatch
+
+
+def test_parse_conerf_coco_dispatch(tmp_path):
+    """dmode=coco: annotations.coco.json feeds atrb_masks
+    (ref freegaussian_dataparser.py:309,564-566)."""
+    ids = [f"{i:06d}" for i in range(3)]
+    (tmp_path / "dataset.json").write_text(json.dumps({
+        "ids": ids, "train_ids": ids, "val_ids": ids[-1:],
+    }))
+    (tmp_path / "camera").mkdir()
+    for i, fid in enumerate(ids):
+        (tmp_path / "camera" / f"{fid}.json").write_text(json.dumps({
+            "orientation": np.eye(3).tolist(),
+            "position": [0.1 * i, 0.0, 4.0],
+            "focal_length": 60.0,
+            "principal_point": [16.0, 12.0],
+        }))
+        _write_png(tmp_path / "rgb" / "2x" / f"{fid}.png", h=24, w=32, seed=i)
+    coco = {
+        "images": [{"id": 7, "file_name": f"{ids[1]}.png"}],
+        "categories": [{"id": 1, "name": "door"}],
+        "annotations": [{
+            "image_id": 7, "category_id": 1,
+            "segmentation": [[0, 0, 40, 0, 40, 40]],
+        }],
+    }
+    (tmp_path / "annotations.coco.json").write_text(json.dumps(coco))
+
+    from freegaussian_tpu.data.dataparsers import parse_conerf
+
+    parsed = parse_conerf(tmp_path, "train", downscale=2)
+    assert parsed.atrb_masks is not None
+    assert parsed.atrb_masks.shape == (3, 24, 32, 2)
+    assert parsed.atrb_masks[1, :, :, 1].any()  # annotated frame
+    assert not parsed.atrb_masks[0, :, :, 1].any()  # unannotated frame

@@ -234,3 +234,50 @@ def test_se3_screw_apply_matches_matrix():
     fast = np.asarray(screw.apply(jnp.asarray(means)))
     slow = np.asarray(apply_se3_deform(jnp.asarray(means), screw.matrix()))
     np.testing.assert_allclose(fast, slow, atol=1e-4)
+
+
+def test_lpips_architecture_with_synthetic_weights(tmp_path, monkeypatch):
+    """The JAX AlexNet-LPIPS runs from the documented npz schema: identical
+    images score 0, different images score > 0 (VERDICT r2 #6; real
+    pretrained weights need scripts/export_lpips_weights.py offline)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    weights = {}
+    in_ch = 3
+    from freegaussian_tpu.models import metrics as M
+
+    for i, (oc, k, s, p) in enumerate(M._ALEX_CONVS):
+        weights[f"conv{i}_w"] = rng.normal(
+            scale=0.05, size=(oc, in_ch, k, k)
+        ).astype(np.float32)
+        weights[f"conv{i}_b"] = np.zeros(oc, np.float32)
+        weights[f"lin{i}"] = rng.uniform(0, 1, oc).astype(np.float32)
+        in_ch = oc
+    path = tmp_path / "lpips_alex.npz"
+    np.savez(path, **weights)
+    monkeypatch.setenv("FREEGAUSSIAN_LPIPS_WEIGHTS", str(path))
+    monkeypatch.setattr(M, "_lpips_fn", None)
+    monkeypatch.setattr(M, "_lpips_warned", False)
+
+    img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    same = M.lpips(img, img)
+    assert same is not None and same == pytest.approx(0.0, abs=1e-6)
+    other = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    assert M.lpips(img, other) > 1e-6
+    assert M.lpips_available()
+
+
+def test_lpips_unavailable_is_explicit(tmp_path, monkeypatch):
+    from freegaussian_tpu.models import metrics as M
+
+    monkeypatch.setenv(
+        "FREEGAUSSIAN_LPIPS_WEIGHTS", str(tmp_path / "missing.npz")
+    )
+    monkeypatch.setattr(M, "_lpips_fn", None)
+    monkeypatch.setattr(M, "_lpips_warned", True)
+    import numpy as np
+
+    img = np.zeros((16, 16, 3), np.float32)
+    assert M.lpips(img, img) is None
+    assert not M.lpips_available()
