@@ -249,11 +249,20 @@ class FullImageDatamanager:
         """Like `next_train` but also returns the frame index, so the trainer
         can fetch the paired `camera0` for flow supervision and address
         per-camera optimizer state."""
-        if not self._epoch_order:
-            self._epoch_order = list(self.rng.permutation(len(self.frames)))
-        idx = self._epoch_order.pop()
+        idx = self.draw_indices(1)[0]
         cam, batch = self.get_batch(idx)
         return idx, cam, batch
+
+    def draw_indices(self, n: int) -> List[int]:
+        """Draw the next n frame indices of the epoch permutation — the SAME
+        sequence the per-step loop consumes, so the scan-chunked trainer
+        (Trainer scan_chunk) trains on identical frame orders."""
+        out = []
+        for _ in range(n):
+            if not self._epoch_order:
+                self._epoch_order = list(self.rng.permutation(len(self.frames)))
+            out.append(int(self._epoch_order.pop()))
+        return out
 
     def camera0(self, idx: int) -> Camera:
         """Paired (previous) frame's camera for the flow-derivative path."""

@@ -27,6 +27,7 @@ def make_control_train_step(
     init_time,
     *,
     train_gaussians: bool = True,
+    jit: bool = True,
 ):
     init_time = jnp.asarray(init_time)
 
@@ -111,4 +112,6 @@ def make_control_train_step(
         )
         return new_state, metrics
 
+    if not jit:
+        return step_fn
     return jax.jit(step_fn, static_argnames=("sh_degree_now",))

@@ -62,8 +62,9 @@ class ControlTrainer(Trainer):
         if not hasattr(self, "gaussian_mask"):
             # called from Trainer.__init__ before stage-2 state exists; the
             # real build happens at the end of our own __init__
+            super()._rebuild_step_fn()
             return
-        self.control_step_fn = make_control_train_step(
+        args = (
             self.config.splat,
             self.optimizers,
             self.control_apply,
@@ -71,6 +72,13 @@ class ControlTrainer(Trainer):
             self.gaussian_mask,
             self.init_time,
         )
+        self.control_step_fn = make_control_train_step(*args)
+        self.control_step_raw = make_control_train_step(*args, jit=False)
+        self._scan_fn_cache = {}
+
+    def _scan_body(self, state, camera, batch, sh_deg: int, camera0, idx):
+        del camera0, idx  # stage-2 has no flow supervision / per-camera state
+        return self.control_step_raw(state, camera, batch, sh_deg)
 
     def _dispatch_step(self, i, idx, camera, batch):
         """One stage-2 step under the SHARED Trainer.train cadence loop

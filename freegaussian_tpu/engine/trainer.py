@@ -58,6 +58,15 @@ class TrainerConfig:
     "viewer+tensorboard" (also the live HTTP orbit viewer) — mirroring the
     reference's `vis:` config key"""
     viewer_port: int = 7007
+    scan_chunk: int = 0
+    """> 1: run training in device-side lax.scan chunks of up to this many
+    steps (one host dispatch per chunk). Semantically equivalent to the
+    per-step loop (same frame order, same step math — tested), but the
+    tunneled TPU backend pays one ~100-300 ms host round trip per DISPATCH,
+    which dominates small-scene training. Chunks break at downscale/SH phase
+    changes and at every eval/save cadence point; in-chunk metrics are
+    returned stacked and logged at the steps_per_log cadence afterwards.
+    Keep it a divisor of the cadences to minimize distinct compile shapes."""
     capacity: int = 1 << 19
     num_random: int = 50000
     """random-init Gaussian count when the dataset has no seed points"""
@@ -187,13 +196,7 @@ class Trainer:
             camera_opt=camera_opt,
             bilagrid=bilagrid,
         )
-        self.step_fn = make_train_step(
-            config.splat,
-            config.densify,
-            self.optimizers,
-            self.deform_apply,
-            num_train_data=len(self.datamanager),
-        )
+        self._rebuild_step_fn()
         self.out_dir = Path(config.output_dir) / config.experiment_name
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.metrics_log = self.out_dir / "metrics.jsonl"
@@ -340,15 +343,18 @@ class Trainer:
             self._rebuild_step_fn()
 
     def _rebuild_step_fn(self) -> None:
-        """Re-jit the train step after a config change (capacity growth);
+        """(Re)build the jitted train step + the raw body the scan-chunked
+        path embeds in lax.scan; rebuilt on config changes (capacity growth).
         ControlTrainer overrides this to rebuild its stage-2 step."""
-        self.step_fn = make_train_step(
-            self.config.splat,
-            self.config.densify,
-            self.optimizers,
-            self.deform_apply,
+        kwargs = dict(
+            densify_cfg=self.config.densify,
+            optimizers=self.optimizers,
+            deform_apply=self.deform_apply,
             num_train_data=len(self.datamanager),
         )
+        self.step_fn = make_train_step(self.config.splat, **kwargs)
+        self.step_fn_raw = make_train_step(self.config.splat, jit=False, **kwargs)
+        self._scan_fn_cache = {}
 
     # ------------------------------------------------------------------
     def _downscale_batch(self, camera: Camera, batch, d: int):
@@ -422,10 +428,198 @@ class Trainer:
             cam_idx=jnp.asarray(idx),
         )
 
+    # ------------------------------------------------------------------
+    # scan-chunked training (cfg.scan_chunk > 1): identical step math and
+    # frame order to the per-step loop, but up to scan_chunk steps run as ONE
+    # device-side lax.scan dispatch — the per-call host round trip (~100-300
+    # ms through the tunneled TPU backend) otherwise dominates small scenes.
+    # ------------------------------------------------------------------
+    def _scan_body(self, state, camera, batch, sh_deg: int, camera0, idx):
+        """Raw (unjitted) step for embedding in the chunk scan; ControlTrainer
+        overrides this with the stage-2 raw step."""
+        return self.step_fn_raw(
+            state, camera, batch, sh_deg, camera0=camera0, cam_idx=idx
+        )
+
+    def _device_dataset(self, d: int):
+        """Stack every frame (downscaled by d) into device-resident arenas:
+        camera SoA, optional camera0 SoA, and batch arrays with the same
+        zero-fill + validity-gate policy as _dispatch_step. Built once per
+        downscale phase; the scan indexes into it per step."""
+        cache = getattr(self, "_device_ds_cache", None)
+        if cache is None:
+            cache = self._device_ds_cache = {}
+        if d in cache:
+            return cache[d]
+        from ..parallel.sharding import stack_cameras
+
+        cfg = self.config
+        use_flow = (
+            cfg.splat.flow_loss_weight > 0 or cfg.splat.flow_3d_loss_weight > 0
+        )
+        cams, cams0, batches = [], [], []
+        any_mask = any(f.mask is not None for f in self.datamanager.frames)
+        for idx in range(len(self.datamanager)):
+            camera, batch = self.datamanager.get_batch(idx)
+            camera, batch = self._downscale_batch(camera, batch, d)
+            h, w = camera.height, camera.width
+            camera0 = self.datamanager.camera0(idx)
+            if d > 1:
+                camera0 = camera0.downscaled(d)
+            if use_flow:
+                if "flow" not in batch:
+                    batch["flow"] = jnp.zeros((h, w, 2), jnp.float32)
+                    batch["flow_valid"] = jnp.asarray(0.0)
+                else:
+                    batch["flow_valid"] = jnp.asarray(1.0)
+                if cfg.splat.flow_3d_loss_weight > 0:
+                    if "depth0" not in batch:
+                        batch["depth0"] = jnp.zeros((h, w, 1), jnp.float32)
+                        batch["depth0_valid"] = jnp.asarray(0.0)
+                    else:
+                        batch["depth0_valid"] = jnp.asarray(1.0)
+            else:
+                batch.pop("flow", None)
+                batch.pop("depth0", None)
+            if any_mask and "mask" not in batch:
+                batch["mask"] = jnp.ones((h, w, 1), jnp.float32)
+            # keys the stage-1/stage-2 losses never read stay off the arena
+            batch.pop("atrb_mask", None)
+            batch.pop("mask_valid", None)
+            cams.append(camera)
+            cams0.append(camera0)
+            batches.append(batch)
+        stacked = {
+            k: jnp.stack([b[k] for b in batches]) for k in batches[0].keys()
+        }
+        entry = (
+            stack_cameras(cams),
+            stack_cameras(cams0) if use_flow else None,
+            stacked,
+        )
+        cache[d] = entry
+        return entry
+
+    def _scan_fn(self, d: int, sh_deg: int):
+        key = (d, sh_deg)
+        cached = self._scan_fn_cache.get(key)
+        if cached is not None:
+            return cached
+        cam_b, cam0_b, data = self._device_dataset(d)
+
+        def chunk(state, idxs):
+            def body(st, i):
+                camera = jax.tree.map(lambda a: a[i], cam_b)
+                camera0 = (
+                    jax.tree.map(lambda a: a[i], cam0_b)
+                    if cam0_b is not None
+                    else None
+                )
+                batch = {k: v[i] for k, v in data.items()}
+                return self._scan_body(st, camera, batch, sh_deg, camera0, i)
+
+            return jax.lax.scan(body, state, idxs)
+
+        fn = jax.jit(chunk)
+        self._scan_fn_cache[key] = fn
+        return fn
+
+    def _train_scan(self, n: int) -> Dict[str, float]:
+        cfg = self.config
+        self._maybe_start_viewer()
+        start = int(self.state.step)
+        end = start + n
+        last_metrics: Dict[str, float] = {}
+        win_t = time.time()
+        win_step = start
+        i = start
+        while i < end:
+            d = downscale_phase(cfg.splat, i)
+            sh_deg = sh_degree_to_use(cfg.splat, i)
+            stop = min(i + cfg.scan_chunk, end)
+            # static-shape phase boundaries: downscale factor and SH degree
+            # are compile-time constants of the chunk
+            if downscale_phase(cfg.splat, stop - 1) != d:
+                sch = cfg.splat.resolution_schedule
+                stop = min(stop, ((i // sch) + 1) * sch)
+            if sh_degree_to_use(cfg.splat, stop - 1) != sh_deg:
+                shi = cfg.splat.sh_degree_interval
+                stop = min(stop, ((i // shi) + 1) * shi)
+            # cadence points must land on chunk boundaries
+            for cad in (
+                cfg.steps_per_eval_all_images,
+                cfg.steps_per_eval_image,
+                cfg.steps_per_save,
+            ):
+                if cad:
+                    stop = min(stop, ((i // cad) + 1) * cad)
+            length = stop - i
+            idxs = jnp.asarray(self.datamanager.draw_indices(length), jnp.int32)
+            self.state, stacked = self._scan_fn(d, sh_deg)(self.state, idxs)
+            stacked = {k: np.asarray(v) for k, v in stacked.items()}
+            now = time.time()
+            sps = (stop - win_step) / max(now - win_t, 1e-9)
+            for s in range(i, stop):
+                if s % cfg.steps_per_log == 0:
+                    row = {k: float(v[s - i]) for k, v in stacked.items()}
+                    row["step"] = s
+                    row["steps_per_sec"] = sps
+                    last_metrics = row
+                    self._log_metrics(row, s)
+            win_t, win_step = now, stop
+            if "num_isects" in stacked:
+                # self-tune off the chunk's PEAK (the loop path samples every
+                # steps_per_log; overflow inside a chunk is caught one chunk
+                # late, the same lag class)
+                self._maybe_grow_isect_capacity(
+                    {"num_isects": float(np.max(stacked["num_isects"]))}
+                )
+            poisoned = not np.all(
+                np.isfinite(stacked.get("loss", np.zeros(1)))
+            ) or not np.all(stacked.get("params_finite", np.ones(1)))
+            if cfg.halt_on_nan and poisoned:
+                bad = int(
+                    np.argmax(~np.isfinite(stacked.get("loss", np.zeros(1))))
+                )
+                raise FloatingPointError(
+                    f"non-finite loss or params inside scan chunk [{i}, {stop})"
+                    f" (first bad loss at step ~{i + bad}); training halted — "
+                    "see TrainerConfig.halt_on_nan"
+                )
+            i = stop
+            if (
+                cfg.steps_per_eval_all_images
+                and i % cfg.steps_per_eval_all_images == 0
+            ):
+                ev = self.eval_all(
+                    max_images=cfg.eval_all_max_images,
+                    dump_dir=(
+                        Path(cfg.eval_dump_dir) / f"step_{i:09d}"
+                        if cfg.eval_dump_dir
+                        else None
+                    ),
+                )
+                ev["step"] = i
+                ev["eval"] = "all"
+                self._log_metrics(ev, i, "eval")
+                win_t = time.time()
+                win_step = i
+            elif cfg.steps_per_eval_image and i % cfg.steps_per_eval_image == 0:
+                ev = self.eval_one(i)
+                if ev is not None:
+                    self._log_metrics(ev, i, "eval_image")
+                win_t = time.time()
+                win_step = i
+            if cfg.steps_per_save and i % cfg.steps_per_save == 0:
+                self.save(i)
+        return last_metrics
+
     def train(self, num_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.config
         self._maybe_start_viewer()
         n = num_steps if num_steps is not None else cfg.max_num_iterations
+        if cfg.scan_chunk > 1:
+            return self._train_scan(n)
         last_metrics: Dict[str, float] = {}
         start = int(self.state.step)
         # plain window timer for steps/s (measures only this call's steps)

@@ -186,6 +186,19 @@ def main():
         "steps -> eval through the control model (0 = stage 1 only)",
     )
     ap.add_argument(
+        "--scan-chunk", type=int, default=50,
+        help="device-side steps per dispatch (Trainer scan_chunk); the "
+        "tunneled chip pays ~300 ms per host dispatch, which dominated the "
+        "r2 quality runs (2.6 steps/s for a ~10 ms device step). 0 = the "
+        "per-step loop",
+    )
+    ap.add_argument(
+        "--full-schedule", action="store_true",
+        help="keep the reference sim schedule fields (stop_split_at 15000, "
+        "warm_up 3000, sh/downscale schedules) instead of the short-run "
+        "compressions",
+    )
+    ap.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (the axon sitecustomize ignores "
         "JAX_PLATFORMS; this must be set before first jax use)",
@@ -220,18 +233,33 @@ def main():
         steps_per_eval_image=0,
         steps_per_eval_all_images=500,
         eval_all_max_images=4,
-        splat=dc.replace(
-            cfg.splat,
-            warm_up=300,
-            # full-res only: each (image size x sh degree) phase is a separate
-            # jit, and compiles run minutes each through the axon tunnel
-            num_downscales=0,
-            resolution_schedule=250,
-            sh_degree_interval=100,
-        ),
-        densify=dc.replace(cfg.densify, stop_split_at=max(args.steps - 200, 1)),
-        optimizers=dc.replace(cfg.optimizers, max_steps=args.steps),
+        scan_chunk=args.scan_chunk,
     )
+    if args.full_schedule:
+        # reference sim schedule (configs/sim/base.yaml values untouched)
+        # with full-res rendering only (num_downscales=0: each image-size
+        # phase is its own multi-minute jit through the axon tunnel, and the
+        # 128 px scene is already small)
+        cfg = dc.replace(
+            cfg,
+            splat=dc.replace(cfg.splat, num_downscales=0),
+            optimizers=dc.replace(cfg.optimizers, max_steps=args.steps),
+        )
+    else:
+        cfg = dc.replace(
+            cfg,
+            splat=dc.replace(
+                cfg.splat,
+                warm_up=300,
+                num_downscales=0,
+                resolution_schedule=250,
+                sh_degree_interval=100,
+            ),
+            densify=dc.replace(
+                cfg.densify, stop_split_at=max(args.steps - 200, 1)
+            ),
+            optimizers=dc.replace(cfg.optimizers, max_steps=args.steps),
+        )
     print("building trainer...", flush=True)
     t = Trainer(cfg)
     t0 = time.time()

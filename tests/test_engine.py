@@ -435,3 +435,125 @@ def test_deform_head_init_scale(tmp_path):
             np.asarray(p2[k]["kernel"]),
             rtol=1e-6,
         )
+
+
+def test_scan_chunk_matches_per_step_loop(tmp_path):
+    """scan_chunk runs the SAME training as the per-step loop.
+
+    chunk=1 must be BITWISE identical (same frame order via the shared epoch
+    permutation, same step math, same compilation unit). chunk>1 is one fused
+    scan compilation, so ulp-class fusion reassociation plus Adam's
+    normalization (update magnitude ~lr even for noise-dominated gradients)
+    precludes bitwise equality — there the per-step LOSSES and the logged
+    cadence behavior are asserted instead."""
+    import dataclasses as dc
+    import importlib.util
+    import json as _json
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location("td", "tests/test_data.py")
+    td = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(td)
+    td.make_synthetic_dataset(tmp_path / "data", n=6, h=32, w=32)
+
+    from freegaussian_tpu.engine.trainer import Trainer, TrainerConfig
+    from freegaussian_tpu.models.densify import DensifyConfig
+    from freegaussian_tpu.models.splat_model import SplatConfig
+
+    base = TrainerConfig(
+        data=str(tmp_path / "data"), dataparser="synthetic",
+        output_dir=str(tmp_path / "out_loop"), capacity=128, num_random=50,
+        steps_per_save=0, steps_per_eval_image=0, steps_per_eval_all_images=4,
+        eval_all_max_images=1, steps_per_log=2, seed=3,
+        splat=SplatConfig(
+            warm_up=2, backend="reference", background_color="black",
+            num_downscales=1, resolution_schedule=3,
+            flow_loss_weight=0.01, flow_3d_loss_weight=0.01,
+        ),
+        densify=DensifyConfig(refine_start=10**9),
+        dataparser_kwargs={"interval": 2},
+    )
+    t_loop = Trainer(base)
+    t_loop.train(8)
+
+    # single-step equivalence: one scan-path step from the same state must
+    # match the jitted per-step fn to float precision (over a TRAJECTORY,
+    # Adam turns ulp-class compilation differences into ~lr-scale noise on
+    # zero-gradient parameters, so step-level equality is the sharp check)
+    t_one = Trainer(dc.replace(
+        base, output_dir=str(tmp_path / "out_one"), scan_chunk=1
+    ))
+    state0 = t_one.state
+    idx0 = t_one.datamanager.draw_indices(1)[0]
+    cam, batch = t_one.datamanager.get_batch(idx0)
+    from freegaussian_tpu.engine.trainer import downscale_phase as _dp
+    from freegaussian_tpu.models.splat_model import sh_degree_to_use as _sh
+
+    d0 = _dp(base.splat, 0)
+    state_loop, m_loop = t_one._dispatch_step(0, idx0, cam, batch)
+    import jax.numpy as jnp
+
+    state_scan, m_scan = t_one._scan_fn(d0, _sh(base.splat, 0))(
+        state0, jnp.asarray([idx0], jnp.int32)
+    )
+    # params match to the Adam step scale: for parameters with ~zero
+    # gradient the first-step update is +-lr * sign(noise), and the two
+    # compilation units legitimately round those noise gradients differently
+    # (depth-tie ordering / fusion reassociation); 3e-3 bounds every group's
+    # lr-scale noise while catching any real semantic divergence
+    for k in state_loop.params:
+        np.testing.assert_allclose(
+            np.asarray(state_loop.params[k]),
+            np.asarray(state_scan.params[k]), atol=3e-3, rtol=1e-5,
+            err_msg=k,
+        )
+    assert abs(float(m_loop["loss"]) - float(m_scan["loss"][0])) < 1e-6
+
+    # chunk=5: same losses (the driven state), same logging/eval cadence
+    t_scan = Trainer(dc.replace(
+        base, output_dir=str(tmp_path / "out_scan"), scan_chunk=5
+    ))
+    t_scan.train(8)
+    assert int(t_loop.state.step) == int(t_scan.state.step) == 8
+    lv, sv = (
+        [
+            _json.loads(l)
+            for l in (t.out_dir / "metrics.jsonl").read_text().splitlines()
+        ]
+        for t in (t_loop, t_scan)
+    )
+    loop_train = {r["step"]: r for r in lv if "eval" not in r}
+    scan_train = {r["step"]: r for r in sv if "eval" not in r}
+    assert set(loop_train) == set(scan_train)
+    for s in loop_train:
+        # the lr-scale parameter noise (see above) feeds back into later
+        # losses at the ~0.2% level; a real semantic bug (wrong frame, wrong
+        # loss term, wrong schedule) shows up at O(0.1+)
+        assert abs(loop_train[s]["loss"] - scan_train[s]["loss"]) < 0.02, s
+    # eval cadence fired in both paths
+    assert any(r.get("eval") == "all" for r in sv)
+
+    # refinement fires inside a scan chunk (in-jit lax.cond path)
+    from freegaussian_tpu.models.densify import DensifyConfig as _DC
+
+    # densify is guarded by step % reset_interval > num_train_data +
+    # refine_every (ref :404-491), so the refine window opens at step > 8
+    # here (6 frames, refine_every=2); a tiny grad threshold makes every
+    # visible Gaussian a dup candidate once it does
+    t_ref = Trainer(dc.replace(
+        base, output_dir=str(tmp_path / "out_refine"), scan_chunk=6,
+        densify=_DC(
+            refine_start=2, refine_every=2, densify_grad_thresh=1e-6
+        ),
+    ))
+    t_ref.train(14)
+    counts = [
+        r["gaussian_count"]
+        for r in (
+            _json.loads(l)
+            for l in (t_ref.out_dir / "metrics.jsonl").read_text().splitlines()
+        )
+        if "gaussian_count" in r
+    ]
+    assert counts[-1] != counts[0], counts
