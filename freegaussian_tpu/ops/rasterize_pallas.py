@@ -128,11 +128,23 @@ SCAN_IMPL = "mxu"
 # Switchable for hardware A/B + on-chip parity (tpu_checks xinterp).
 SCAN_PRECISION = jax.lax.Precision.HIGHEST  # or the string "split2"
 
+# FORWARD-only scan precision override (None -> SCAN_PRECISION). The r2ab6
+# numerics verdict (docs/NOTES_ROUND2.md) applies to the BACKWARD: its
+# suffix difference r_total - s_cum - s_incl cancels large terms, so split2's
+# ~2^-17 scan error amplified ~100x there. The forward has no such
+# cancellation — its weights are w = a * excl_T (products of O(1) factors) —
+# so split2 (1/3 of HIGHEST's MXU passes) costs only ~1e-5-relative image
+# noise. A/B knob for hardware (tpu_checks r3ab).
+SCAN_PRECISION_FWD = None
 
-def _scan_dot(x: jax.Array, m: jax.Array) -> jax.Array:
-    """x @ m for the (K, K) 0/1 prefix matrices, at SCAN_PRECISION."""
+
+def _scan_dot(x: jax.Array, m: jax.Array, prec=None) -> jax.Array:
+    """x @ m for the (K, K) 0/1 prefix matrices, at `prec` (default
+    SCAN_PRECISION)."""
     dims = (((1,), (0,)), ((), ()))
-    if SCAN_PRECISION == "split2":
+    if prec is None:
+        prec = SCAN_PRECISION
+    if prec == "split2":
         # Mosaic rejects bf16 dot operands ("Bad lhs type") — keep f32
         # operands whose VALUES are bf16-representable, so DEFAULT
         # precision's internal bf16 truncation is lossless on hi and the
@@ -147,7 +159,7 @@ def _scan_dot(x: jax.Array, m: jax.Array) -> jax.Array:
             precision=jax.lax.Precision.DEFAULT,
         )
     return jax.lax.dot_general(
-        x, m, dims, preferred_element_type=jnp.float32, precision=SCAN_PRECISION
+        x, m, dims, preferred_element_type=jnp.float32, precision=prec
     )
 
 # Segment-level early-out when every pixel of a tile has terminated. Saves
@@ -239,12 +251,12 @@ def _cumprod_lanes_roll(x: jax.Array) -> jax.Array:
     return x
 
 
-def _cumsum_lanes(x: jax.Array) -> jax.Array:
+def _cumsum_lanes(x: jax.Array, prec=None) -> jax.Array:
     """Inclusive prefix sum along axis 1."""
     if SCAN_IMPL == "roll":
         return _cumsum_lanes_roll(x)
     k = x.shape[1]
-    return _scan_dot(x, _prefix_matrix(k))
+    return _scan_dot(x, _prefix_matrix(k), prec)
 
 
 def _cumprod_lanes(x: jax.Array) -> jax.Array:
@@ -256,7 +268,7 @@ def _cumprod_lanes(x: jax.Array) -> jax.Array:
     return jnp.exp(_cumsum_lanes(jnp.log(x)))
 
 
-def _transmittance(one_minus: jax.Array, T: jax.Array, alive: jax.Array):
+def _transmittance(one_minus: jax.Array, T: jax.Array, alive: jax.Array, prec=None):
     """Shared compositing state math for both kernels on a (P, K) block.
 
     Uses an EXCLUSIVE prefix product (strict triangular matmul on the MXU)
@@ -272,7 +284,7 @@ def _transmittance(one_minus: jax.Array, T: jax.Array, alive: jax.Array):
         excl = jnp.where(lane == 0, 1.0, pltpu.roll(incl, 1, axis=1))
     else:
         k = one_minus.shape[1]
-        excl = jnp.exp(_scan_dot(log_om, _prefix_matrix_excl(k)))
+        excl = jnp.exp(_scan_dot(log_om, _prefix_matrix_excl(k), prec))
     excl_T = T * excl
     incl_T = excl_T * one_minus
     live = (incl_T > TRANSMITTANCE_EPS).astype(jnp.float32) * alive
@@ -369,7 +381,9 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
         alive = state[rows, 1:2]
 
         one_minus = 1.0 - a_eff
-        excl_T, incl_T, live, log_om = _transmittance(one_minus, T, alive)
+        excl_T, incl_T, live, log_om = _transmittance(
+            one_minus, T, alive, SCAN_PRECISION_FWD
+        )
         w = a_eff * excl_T * live  # (n_rows, K)
 
         # precision=HIGHEST: the MXU truncates f32 inputs to bf16 by default,

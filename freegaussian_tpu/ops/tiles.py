@@ -27,6 +27,17 @@ from .rasterize_ref import tile_bounds
 # bbox-tile budget for the pre-expansion ellipse cull (lane-aligned)
 PRECULL_T_MAX = 32
 
+# Single-key binning sort: pack (tile_id, depth) into ONE int32 key —
+# tile_id (11 bits) << 20 | positive-f32 depth bits >> 11 (bit order of
+# positive floats is monotone). Cuts the lexicographic 2-key sort's operand
+# count (3 arrays, 2 keys -> 2 arrays, 1 key). NOT depth-exact: gaussians in
+# the same tile whose depths agree in the top 20 bits (~4 ulp at any
+# magnitude... i.e. within 2^-12 relative) composite in expansion order
+# instead of true depth order — an ulp-class image change on real scenes,
+# but a CONTRACT change vs the oracle. A/B knob (tpu_checks r3ab);
+# default off until the win justifies the tie semantics.
+SINGLE_KEY_SORT = False
+
 
 class Intersections(NamedTuple):
     gauss_ids: jax.Array  # (I_CAP,) int32 Gaussian index per intersection; N for padding
@@ -260,9 +271,22 @@ def build_intersections(
         slot_valid & (tile_id < num_tiles), rows[:, 4], jnp.inf
     )
 
-    tile_sorted, _, gid_sorted = jax.lax.sort(
-        (tile_id, depth_key.astype(jnp.float32), gid), num_keys=2
-    )
+    if SINGLE_KEY_SORT and num_tiles < (1 << 11):
+        # positive-f32 bit patterns sort like the floats; keep 20 bits
+        dbits = jax.lax.bitcast_convert_type(
+            jnp.maximum(depth_key.astype(jnp.float32), 0.0), jnp.int32
+        )
+        dq = jax.lax.shift_right_logical(
+            jnp.minimum(dbits, (1 << 31) - 1), 11
+        )
+        # max key = num_tiles<<20 | (2^20-1) <= 2047*2^20 + 2^20-1 = INT32_MAX
+        key = tile_id * (1 << 20) + jnp.minimum(dq, (1 << 20) - 1)
+        key_sorted, gid_sorted = jax.lax.sort((key, gid), num_keys=1)
+        tile_sorted = jax.lax.shift_right_logical(key_sorted, 20)
+    else:
+        tile_sorted, _, gid_sorted = jax.lax.sort(
+            (tile_id, depth_key.astype(jnp.float32), gid), num_keys=2
+        )
 
     tile_offsets = jnp.searchsorted(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"

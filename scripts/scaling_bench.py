@@ -47,6 +47,14 @@ def main():
     ap.add_argument("--gauss", type=int, default=4000)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument(
+        "--reshard-ab", action="store_true",
+        help="A/B the primitive-shard all_gather reshard on the (1, N) mesh: "
+        "with primitive_sharding the per-Gaussian stages run on 1/N shards "
+        "and all_gather into the band rasterizer; without, every chip runs "
+        "the full per-Gaussian stage (no reshard collectives). The delta "
+        "is the reshard's structural cost (VERDICT r2 #5).",
+    )
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -81,7 +89,7 @@ def main():
     H = W = args.size
     capacity = 1 << (args.gauss - 1).bit_length()  # pow2 >= gauss
 
-    def run_mesh(data, tile):
+    def run_mesh(data, tile, primitive_sharding=True):
         cfg, deform, state, camera, optimizers = graft._tiny_setup(
             capacity=capacity, n_gauss=args.gauss, width=W, height=H
         )
@@ -95,6 +103,7 @@ def main():
             mesh=mesh,
             image_hw=(H, W),
             with_refine=False,
+            primitive_sharding=primitive_sharding,
         )
         state = replicate_state(state, mesh)
         cams = stack_cameras(
@@ -110,6 +119,23 @@ def main():
         dt = (time.time() - t0) / args.iters
         pix = data * H * W / dt  # global train-step pixel throughput
         return dt, pix
+
+    if args.reshard_ab:
+        t_mesh = min(args.devices, 4)
+        for ps in (True, False):
+            dt, pix = run_mesh(1, t_mesh, primitive_sharding=ps)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"reshard_ab_tile{t_mesh}_ps_{'on' if ps else 'off'}",
+                        "value": dt * 1e3,
+                        "unit": "ms",
+                        "pixels_per_sec": pix,
+                    }
+                ),
+                flush=True,
+            )
+        return
 
     n = args.devices
     shapes = [(1, 1)]

@@ -515,3 +515,53 @@ def test_precull_flag_routes_through_pallas_path():
     np.testing.assert_allclose(
         np.asarray(a_pre), np.asarray(a_post), atol=2e-6, rtol=2e-6
     )
+
+
+def test_fwd_split2_scan_precision_close():
+    """SCAN_PRECISION_FWD="split2" relaxes only the FORWARD scans (the
+    backward keeps HIGHEST — its suffix difference cancels catastrophically,
+    docs/NOTES_ROUND2.md r2ab6); image error stays in the 1e-4 class."""
+    from freegaussian_tpu.ops import rasterize_pallas as rp
+
+    args = make_scene(n=300, width=32, height=32, seed=3, opac_scale=0.999)
+    r_ref, a_ref, _ = rasterize_pixels_reference(*args, 32, 32)
+    old = rp.SCAN_PRECISION_FWD
+    try:
+        rp.SCAN_PRECISION_FWD = "split2"
+        r_pal, a_pal, _ = rasterize_pixels_pallas(*args, 32, 32, interpret=True)
+    finally:
+        rp.SCAN_PRECISION_FWD = old
+    np.testing.assert_allclose(np.asarray(r_pal), np.asarray(r_ref), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref), atol=3e-4)
+
+    # and gradients still HIGHEST-clean (bwd unaffected by the fwd knob)
+    def loss(m):
+        rp.SCAN_PRECISION_FWD = "split2"
+        try:
+            r, a, _ = rasterize_pixels_pallas(
+                m, *args[1:], 32, 32, interpret=True
+            )
+        finally:
+            rp.SCAN_PRECISION_FWD = old
+        return jnp.sum(r**2) + jnp.sum(a)
+
+    g = jax.grad(loss)(args[0])
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_single_key_sort_matches_two_key():
+    """SINGLE_KEY_SORT packs (tile, depth) into one int32 key; on scenes
+    without sub-2^-12-relative depth ties inside a tile the sorted layout is
+    IDENTICAL to the 2-key sort, and the rendered image matches exactly."""
+    from freegaussian_tpu.ops import tiles as T
+
+    args = make_scene(n=200, width=48, height=32, seed=7)
+    r2k, a2k, _ = rasterize_pixels_pallas(*args, 48, 32, interpret=True)
+    old = T.SINGLE_KEY_SORT
+    try:
+        T.SINGLE_KEY_SORT = True
+        r1k, a1k, _ = rasterize_pixels_pallas(*args, 48, 32, interpret=True)
+    finally:
+        T.SINGLE_KEY_SORT = old
+    np.testing.assert_array_equal(np.asarray(r1k), np.asarray(r2k))
+    np.testing.assert_array_equal(np.asarray(a1k), np.asarray(a2k))
