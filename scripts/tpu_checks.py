@@ -1242,6 +1242,26 @@ def main():
         rp.SCAN_PRECISION = jax.lax.Precision.HIGH
         run_xinterp()
         bench.main({}, label="scan_high")
+    if "r3ab" in parts:
+        # round-3 single-chip perf batch at the honest workload:
+        # (1) fresh baseline, (2) fwd-only split2 scans (bwd stays HIGHEST —
+        # no r2ab6 cancellation), (3) single-key binning sort, (4) both,
+        # (5) chunk-size legs. Hardware parity (xinterp) brackets the knobs.
+        sys.path.insert(0, ".")
+        import bench
+        from freegaussian_tpu.ops import rasterize_pallas as rp
+        from freegaussian_tpu.ops import tiles as _tiles
+
+        bench.main({}, label="r3_baseline")
+        bench.main({"chunk": 256}, label="r3_chunk256")
+        bench.main({"chunk": 64}, label="r3_chunk64")
+        _tiles.SINGLE_KEY_SORT = True
+        bench.main({}, label="r3_singlekey")
+        rp.SCAN_PRECISION_FWD = "split2"
+        bench.main({}, label="r3_singlekey_fwdsplit2")
+        run_xinterp()  # hardware parity with both knobs active
+        _tiles.SINGLE_KEY_SORT = False
+        bench.main({}, label="r3_fwdsplit2")
     if "r2ab5" in parts:
         # halves fwd-EO revalidation + split2 scan precision A/B
         sys.path.insert(0, ".")
