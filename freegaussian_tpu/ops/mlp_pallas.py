@@ -74,6 +74,15 @@ def _fwd_block_for(block: int) -> int:
 # accumulators persist across steps). Knob for hardware A/B.
 FWD_SEMANTICS = "arbitrary"
 
+# Activation dtype INSIDE the kernels. bf16 was assumed optimal (halved VMEM
+# traffic), but per-layer the two cast passes (f32 relu result -> bf16 store,
+# bf16 load -> f32 epilogue) cost MORE VPU cycles than the matmul itself at
+# these shapes ((B,256)x(256,256) = ~2.6 us MXU vs ~3 VPU passes over
+# (B,256)). f32 activations skip every cast: the dot takes f32 operands at
+# DEFAULT precision, which the MXU truncates to bf16 internally anyway (one
+# pass) — same matmul numerics, no cast passes. A/B knob for hardware.
+ACT_DTYPE = jnp.bfloat16
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -88,8 +97,8 @@ def _mm(a, b):
     ("Bad lhs type" — fp32 precision means the 3-pass f32 split, which
     needs f32 inputs). bf16 in + f32 accumulate is exactly what we want."""
     return jax.lax.dot_general(
-        a.astype(jnp.bfloat16),
-        b.astype(jnp.bfloat16),
+        a.astype(ACT_DTYPE),
+        b.astype(ACT_DTYPE),
         ((((1,), (0,))), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
@@ -99,8 +108,8 @@ def _mm(a, b):
 def _mm_tn(a, b):
     """a (K, M) x b (K, N) -> (M, N): contract dim 0 of both (wgrad shape)."""
     return jax.lax.dot_general(
-        a.astype(jnp.bfloat16),
-        b.astype(jnp.bfloat16),
+        a.astype(ACT_DTYPE),
+        b.astype(ACT_DTYPE),
         ((((0,), (0,))), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
@@ -110,8 +119,8 @@ def _mm_tn(a, b):
 def _mm_nt(a, b):
     """a (M, K) x b (N, K) -> (M, N): contract dim 1 of both (dgrad shape)."""
     return jax.lax.dot_general(
-        a.astype(jnp.bfloat16),
-        b.astype(jnp.bfloat16),
+        a.astype(ACT_DTYPE),
+        b.astype(ACT_DTYPE),
         ((((1,), (1,))), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
@@ -132,7 +141,7 @@ def _forward_acts(x, w, b, keep=True):
             z = _mm(x, w[i][0:IN_PAD]) + _mm(h, w[i][IN_PAD : IN_PAD + H])
         else:
             z = _mm(h, w[i])
-        h = jax.nn.relu(z + b[i]).astype(jnp.bfloat16)
+        h = jax.nn.relu(z + b[i]).astype(ACT_DTYPE)
         if keep:
             acts.append(h)
     return acts if keep else [h]
@@ -175,7 +184,8 @@ def _bwd_kernel(inp_ref, dh_ref, *refs):
     g_skip = None  # skip-path contribution to d inp
     for i in range(DEPTH - 1, -1, -1):
         # relu mask in f32 — Mosaic has no bf16 compare on v5e
-        g = g * (acts[i].astype(jnp.float32) > 0)  # dL/dz_i, f32
+        mask_src = acts[i] if ACT_DTYPE == jnp.float32 else acts[i].astype(jnp.float32)
+        g = g * (mask_src > 0)  # dL/dz_i, f32
         db_refs[i][...] += jnp.sum(g, axis=0, keepdims=True)
         if i == 0:
             dw_refs[0][...] += _mm_tn(x, g)
@@ -215,7 +225,7 @@ def _pallas_fwd(interpret, block, inp, ws_bf16, bs2d):
         grid=(n // block,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block, H), lambda s: (s, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, H), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((n, H), ACT_DTYPE),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(FWD_SEMANTICS,)
         ),
@@ -224,7 +234,7 @@ def _pallas_fwd(interpret, block, inp, ws_bf16, bs2d):
 
 
 def _fused_trunk_fwd(interpret, block, inp, ws, bs):
-    ws_bf16 = tuple(w.astype(jnp.bfloat16) for w in ws)
+    ws_bf16 = tuple(w.astype(ACT_DTYPE) for w in ws)
     bs2d = tuple(b.reshape(1, H).astype(jnp.float32) for b in bs)
     h = _pallas_fwd(interpret, block, inp, ws_bf16, bs2d)
     return h, (inp, ws_bf16, bs2d)
@@ -346,7 +356,7 @@ def xla_deform_trunk(x, t_emb, ws, bs, *, num_freqs=10):
         [x.astype(jnp.float32), jnp.zeros((n, XSRC - 3), jnp.float32)], axis=-1
     )
     emb, _ = _embed(xsrc, S, kind, trow)  # (N, 128) f32, lane-full
-    ws_p = _pad_trunk_weights(tuple(w.astype(jnp.bfloat16) for w in ws), ein)
+    ws_p = _pad_trunk_weights(tuple(w.astype(ACT_DTYPE) for w in ws), ein)
     h = emb
     for i in range(DEPTH):
         if i == 0:
@@ -374,7 +384,7 @@ def xla_control_trunk(x, value, ws, bs, *, num_freqs=10):
         axis=-1,
     )
     emb, _ = _embed(xsrc, S, kind, jnp.zeros((1, 128), jnp.float32))
-    ws_p = _pad_trunk_weights(tuple(w.astype(jnp.bfloat16) for w in ws), ein)
+    ws_p = _pad_trunk_weights(tuple(w.astype(ACT_DTYPE) for w in ws), ein)
     h = emb
     for i in range(DEPTH):
         if i == 0:
@@ -494,7 +504,8 @@ def _field_bwd_kernel(x_ref, dh_ref, S_ref, kind_ref, trow_ref, *refs):
     g_skip = None
     d_emb = None
     for i in range(DEPTH - 1, -1, -1):
-        g = g * (acts[i].astype(jnp.float32) > 0)
+        mask_src = acts[i] if ACT_DTYPE == jnp.float32 else acts[i].astype(jnp.float32)
+        g = g * (mask_src > 0)
         db_refs[i][...] += jnp.sum(g, axis=0, keepdims=True)
         if i == 0:
             dw_refs[0][...] += _mm_tn(emb, g)
@@ -527,7 +538,7 @@ def _fused_field(interpret: bool, block: int, xsrc, S, kind, trow, ws, bs):
 
 def _fused_field_fwd(interpret, block, xsrc, S, kind, trow, ws, bs):
     n = xsrc.shape[0]
-    ws_bf16 = tuple(w.astype(jnp.bfloat16) for w in ws)
+    ws_bf16 = tuple(w.astype(ACT_DTYPE) for w in ws)
     bs2d = tuple(b.reshape(1, H).astype(jnp.float32) for b in bs)
     fblock = _fwd_block_for(block)
     in_specs = [pl.BlockSpec((fblock, XSRC), lambda s: (s, 0))]
@@ -539,7 +550,7 @@ def _fused_field_fwd(interpret, block, xsrc, S, kind, trow, ws, bs):
         grid=(n // fblock,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((fblock, H), lambda s: (s, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, H), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((n, H), ACT_DTYPE),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(FWD_SEMANTICS,)
         ),

@@ -1254,7 +1254,8 @@ def main():
 
         bench.main({}, label="r3_baseline")
         bench.main({"chunk": 256}, label="r3_chunk256")
-        bench.main({"chunk": 64}, label="r3_chunk64")
+        # chunk=64 is not lowerable: the packed block's lane dim must be a
+        # multiple of 128
         _tiles.SINGLE_KEY_SORT = True
         bench.main({}, label="r3_singlekey")
         rp.SCAN_PRECISION_FWD = "split2"
