@@ -77,7 +77,14 @@ class SplatConfig:
     deform_impl: str = "flax"
     near_plane: float = 0.01
     far_plane: float = 1e10
-    tile_size: int = 16
+    # 32 on TPU: intersections scale with tiles-per-Gaussian, and every
+    # capacity-sized op (binning sort, gradient-reduction gathers, cumsum)
+    # scales with intersections. The r3 on-chip A/B (docs/NOTES_ROUND3.md):
+    # tile 16 = 11.2M px/s, tile 32 = 12.5M, tile 8 = 7.1M, tile 64 = VMEM
+    # OOM (the (P, K) pixel blocks grow 4x per doubling). gsplat's CUDA
+    # kernels keep 16 (one thread per pixel, one warp-block per tile — a
+    # GPU-occupancy constraint the TPU grid doesn't have).
+    tile_size: int = 32
     output_depth_during_training: bool = False
     backend: str = "auto"
     is_blender: bool = True

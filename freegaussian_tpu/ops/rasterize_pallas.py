@@ -111,6 +111,43 @@ class _Cfg:
     interpret: bool
 
 
+# gsplat's rasterization CONTRACT quantizes each Gaussian's radius bbox to
+# 16-pixel tiles (reference isect_tiles; oracle tile_bounds default): pixels
+# outside that bbox get ZERO contribution even where alpha would clear the
+# threshold (at op ~ 1 the threshold ellipse reaches ~3.33 sigma, past the
+# 3-sigma radii). The KERNEL tile size is a pure performance knob (32 wins
+# on v5e, see SplatConfig.tile_size); when it differs from this contract
+# granularity, _alphas applies the 16-granularity bbox gate in-kernel so
+# results stay oracle-exact at any kernel tile size.
+CONTRACT_TILE = 16
+
+# Packed-row memory order for the pixel kernels' per-intersection data.
+# False (legacy): `packed` is (D, cap) row-major — the custom calls force a
+# {1,0} layout on it, so XLA must PHYSICALLY transpose the (cap, D) gather
+# output before the forward kernel and the (D, cap) gradient after the
+# backward kernel (~1.2 ms of copy/transpose fusions at the bench point:
+# copy.389 + multiply_add_fusion.226 in docs/NOTES_ROUND3.md). True: the
+# kernels take/store (cap, D) blocks directly — (chunk, D) block loads are
+# contiguous, and the (K, D)<->(D, K) flip happens INSIDE the kernel on a
+# VMEM-resident (128, 16) tile per grid step (a handful of VPU shuffles,
+# amortised against the 256-pixel compositing math). A/B knob for hardware.
+PACKED_ROW_MAJOR = False
+
+# Backward walk order. "fwd" (legacy): re-walk segments front-to-back with
+# the suffix identity r_after = R_total - S_{<=k}; the large-total
+# subtraction cancels catastrophically when r_after is small, which is what
+# pins the backward scans at HIGHEST precision (r2ab6,
+# docs/NOTES_ROUND2.md). "rev" (gsplat-style): walk segments back-to-front,
+# reconstructing transmittance from the forward's saved T_final and
+# accumulating the suffix sums DIRECTLY — every intermediate is error-
+# relative-to-itself, so the scans run at the cheap split2 precision (1/3
+# of HIGHEST's MXU passes) without amplification. MXU scans only.
+BWD_WALK = "fwd"
+
+# Scan precision for the reverse-walk backward's suffix scans (safe at
+# split2 by construction — see BWD_WALK). None -> SCAN_PRECISION.
+SCAN_PRECISION_REV = "split2"
+
 # Prefix-scan implementation inside the kernels: "mxu" = one triangular
 # matmul (HIGHEST precision) per scan; "roll" = log-step roll/select ladder
 # on the VPU (~21 passes for K=128). Which wins depends on the chunk size —
@@ -134,8 +171,10 @@ SCAN_PRECISION = jax.lax.Precision.HIGHEST  # or the string "split2"
 # ~2^-17 scan error amplified ~100x there. The forward has no such
 # cancellation — its weights are w = a * excl_T (products of O(1) factors) —
 # so split2 (1/3 of HIGHEST's MXU passes) costs only ~1e-5-relative image
-# noise. A/B knob for hardware (tpu_checks r3ab).
-SCAN_PRECISION_FWD = None
+# noise. Default "split2" since r3: +1% step on the honest bench, parity
+# suite clean at 3e-4 forward tolerance (docs/NOTES_ROUND3.md); set None to
+# restore HIGHEST forward scans.
+SCAN_PRECISION_FWD = "split2"
 
 
 def _scan_dot(x: jax.Array, m: jax.Array, prec=None) -> jax.Array:
@@ -268,6 +307,22 @@ def _cumprod_lanes(x: jax.Array) -> jax.Array:
     return jnp.exp(_cumsum_lanes(jnp.log(x)))
 
 
+def _suffix_matrix(k: int, excl: bool) -> jax.Array:
+    """(K, K) matrix M with M[i, j] = 1 for i >= j (inclusive suffix) or
+    i > j (exclusive): x @ M = suffix sum along lanes."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return ((i > j) if excl else (i >= j)).astype(jnp.float32)
+
+
+def _sumsuffix_lanes(x: jax.Array, excl: bool, prec=None) -> jax.Array:
+    """Suffix sum along axis 1 (sum over j >= k, or j > k when `excl`).
+    MXU triangular matmul only — the reverse-walk backward is mxu-scan-only
+    (SCAN_IMPL="roll" has no reverse ladder; _run_bwd asserts)."""
+    k = x.shape[1]
+    return _scan_dot(x, _suffix_matrix(k, excl), prec)
+
+
 def _transmittance(one_minus: jax.Array, T: jax.Array, alive: jax.Array, prec=None):
     """Shared compositing state math for both kernels on a (P, K) block.
 
@@ -308,6 +363,14 @@ def _pixel_coords(cfg: _Cfg, tile, row_offset: int = 0, n_rows: int | None = Non
     return px, py
 
 
+def _load_data(data_ref):
+    """Load the per-intersection chunk as (D, K) regardless of memory order
+    (PACKED_ROW_MAJOR stores (K, D) blocks; the flip is a VMEM-tile
+    transpose, not an HBM pass)."""
+    d = data_ref[...]
+    return d.T if PACKED_ROW_MAJOR else d
+
+
 def _alphas(cfg: _Cfg, data, px, py):
     """Shared alpha math for a (D, K) chunk against (P, 1) pixel coords."""
     C = cfg.channels
@@ -326,6 +389,23 @@ def _alphas(cfg: _Cfg, data, px, py):
     alpha = jnp.minimum(MAX_ALPHA, raw_alpha)
     # Padding slots carry all-zero rows: sigma == 0, alpha == 0 -> invisible.
     vis = (sigma >= 0) & (alpha >= ALPHA_THRESHOLD)
+    if cfg.tile_size != CONTRACT_TILE:
+        # gsplat CONTRACT bbox gate: a Gaussian contributes only to pixels
+        # whose CONTRACT_TILE-granularity tile lies inside its radius bbox
+        # (tiles.py tile_bounds / reference isect_tiles). Binning at a
+        # coarser kernel tile supersets that region (coarser floor/ceil
+        # covers more), so gating here restores the tile-16 contract EXACTLY
+        # while the kernels run at the faster tile size. Same f32 arithmetic
+        # as tile_bounds: coords < 2^24 make /16, floor, ceil exact.
+        g = float(CONTRACT_TILE)
+        rad = data[8 + C : 9 + C, :]  # (1, K) radii (0 = culled)
+        tx = jnp.floor((px - 0.5) / g)  # (P, 1) pixel's contract-tile coords
+        ty = jnp.floor((py - 0.5) / g)
+        xm = jnp.floor((gx - rad) / g)  # (1, K) bbox in contract tiles
+        xM = jnp.ceil((gx + rad) / g)
+        ym = jnp.floor((gy - rad) / g)
+        yM = jnp.ceil((gy + rad) / g)
+        vis = vis & (tx >= xm) & (tx < xM) & (ty >= ym) & (ty < yM)
     a_eff = jnp.where(vis, alpha, 0.0)
     return dict(
         dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, op=op, cols=cols, gx=gx, gy=gy,
@@ -339,7 +419,7 @@ def _alphas(cfg: _Cfg, data, px, py):
 # -----------------------------------------------------------------------------
 
 
-def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_ref, color_ref, alpha_ref, livecnt_ref, *scratch):
+def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_ref, color_ref, alpha_ref, livecnt_ref, *rest):
     """state scratch: (P, 2) = [T, alive]; persists across the segment grid.
 
     flags bit0 = first segment of tile (init outputs), bit1 = live (has real
@@ -354,6 +434,10 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
     K = cfg.chunk
     s = pl.program_id(0)
     flags = flags_ref[s]
+    if BWD_WALK == "rev":
+        tfin_ref, *scratch = rest  # extra output: per-pixel final T
+    else:
+        tfin_ref, scratch = None, rest
     state = scratch[0]
     if FWD_EARLY_OUT:
         alive_smem = scratch[1]
@@ -363,6 +447,8 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
         color_ref[0] = jnp.zeros_like(color_ref[0])
         alpha_ref[0] = jnp.zeros_like(alpha_ref[0])
         livecnt_ref[0] = jnp.zeros_like(livecnt_ref[0])
+        if tfin_ref is not None:
+            tfin_ref[0] = jnp.ones_like(tfin_ref[0])
         state[...] = jnp.ones((P, 2), jnp.float32)
         if FWD_EARLY_OUT:
             alive_smem[0] = 1
@@ -373,7 +459,7 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
     def half_body(h, rows, n_rows):
         """Composite one 128-row half of the tile (pixel rows [8h, 8h+8))."""
         px, py = _pixel_coords(cfg, tile_ref[s], row_offset=h * n_rows, n_rows=n_rows)
-        v = _alphas(cfg, data_ref[...], px, py)
+        v = _alphas(cfg, _load_data(data_ref), px, py)
         slot = chunk_ref[s] * K + jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
         in_range = (slot >= lo_ref[s]) & (slot < hi_ref[s])
         a_eff = jnp.where(in_range, v["a_eff"], 0.0)
@@ -401,6 +487,10 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
         T_new = _t_new(T, live, log_om)
         alive_new = alive * (incl_T[:, -1:] > TRANSMITTANCE_EPS).astype(jnp.float32)
         state[rows] = jnp.concatenate([T_new, alive_new], axis=1)
+        if tfin_ref is not None:
+            # running final-T snapshot: the reverse-walk backward seeds its
+            # transmittance reconstruction from the last written value
+            tfin_ref[0, rows] = T_new
         if FWD_EARLY_OUT:
             alive_smem[h] = (jnp.max(alive_new) > 0.0).astype(jnp.int32)
 
@@ -498,6 +588,9 @@ def _bwd_kernel(
             [d_sum[0:6], jnp.abs(d_sum[0:2]), d_sum[8:]], axis=0
         )
 
+        if PACKED_ROW_MAJOR:
+            d_chunk = d_chunk.T  # (K, D) store order; flip is VMEM-resident
+
         @pl.when((flags >> 2) & 1 == 1)
         def _():
             dout_ref[...] = d_chunk
@@ -514,7 +607,7 @@ def _bwd_half_body(
     C = cfg.channels
     K = cfg.chunk
     px, py = _pixel_coords(cfg, tile_ref[s], row_offset=row_offset, n_rows=n_rows)
-    v = _alphas(cfg, data_ref[...], px, py)
+    v = _alphas(cfg, _load_data(data_ref), px, py)
     slot = chunk_ref[s] * K + jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     in_range = (slot >= lo_ref[s]) & (slot < hi_ref[s])
     vis = v["vis"] & in_range
@@ -544,6 +637,21 @@ def _bwd_half_body(
     r_after = r_total - (s_cum + s_incl)
 
     da = (excl_T * b - r_after / one_minus) * comp
+
+    T_new = _t_new(T, live, log_om)
+    alive_new = alive * (incl_T[:, -1:] > TRANSMITTANCE_EPS).astype(jnp.float32)
+    s_cum_new = s_cum + jnp.sum(wb, axis=1, keepdims=True)
+    state[rows] = jnp.concatenate([T_new, alive_new, s_cum_new], axis=1)
+
+    return _grad_rows(cfg, tile_ref, data_ref, s, v, da, w, g_color, row_offset, n_rows)
+
+
+def _grad_rows(cfg, tile_ref, data_ref, s, v, da, w, g_color, row_offset, n_rows):
+    """Assemble the (d_rows, K) per-intersection gradient block from the
+    per-(pixel, gaussian) alpha cotangent `da` and weights `w` — shared by
+    both backward walks."""
+    C = cfg.channels
+    K = cfg.chunk
     uncapped = (v["raw_alpha"] <= MAX_ALPHA).astype(jnp.float32)
     dsigma = -v["alpha"] * da * uncapped
     ca, cb, cc = v["ca"], v["cb"], v["cc"]
@@ -597,19 +705,145 @@ def _bwd_half_body(
         precision=jax.lax.Precision.HIGHEST,
     )  # (C, K)
 
-    T_new = _t_new(T, live, log_om)
-    alive_new = alive * (incl_T[:, -1:] > TRANSMITTANCE_EPS).astype(jnp.float32)
-    s_cum_new = s_cum + jnp.sum(wb, axis=1, keepdims=True)
-    state[rows] = jnp.concatenate([T_new, alive_new, s_cum_new], axis=1)
-
     # Row layout mirrors the packed input. The absgrad rows 6-7 are |sum_p
     # dmx| over the WHOLE tile — not half-decomposable (|a|+|b| != |a+b|) —
     # so halves return zeros there and the combine epilogue takes the abs of
     # the summed signed rows 0-1.
-    d_rows = data_ref.shape[0]
+    d_rows = data_ref.shape[1] if PACKED_ROW_MAJOR else data_ref.shape[0]
     tail = jnp.zeros((d_rows - 8 - C, K), jnp.float32)
     zeros2 = jnp.zeros((2, K), jnp.float32)
     return jnp.concatenate([rows_small, zeros2, dcols, tail], axis=0)
+
+
+def _bwd_kernel_rev(
+    cfg: _Cfg,
+    tile_ref,
+    flags_ref,
+    chunk_ref,
+    lo_ref,
+    hi_ref,
+    tstart_ref,
+    data_ref,
+    gcolor_ref,
+    galpha_ref,
+    tfin_ref,
+    livecnt_ref,
+    dout_ref,
+    state,
+    dbuf,
+):
+    """Reverse-walk backward (BWD_WALK="rev"): segments arrive in REVERSED
+    order (tables flipped by _rasterize_tiles_bwd). state: (P, 2) =
+    [T_after, r_after] — transmittance at the END of the not-yet-processed
+    prefix, and the suffix sum of w*b over already-processed (deeper)
+    slots. Seeded per tile from the forward's saved T_final; liveness is
+    rank < livecnt (transmittance is monotone, so the forward's live-slot
+    count IS the termination cutoff). Every intermediate is a direct
+    product/sum — no large-total cancellation — so the scans run at the
+    cheap split2 precision (see BWD_WALK).
+
+    Flag bits match _bwd_kernel: 0 = first (reverse) segment of tile,
+    1 = live, 2 = first (reverse) toucher of this chunk, 3/4 = halves live."""
+    P = cfg.tile_size * cfg.tile_size
+    s = pl.program_id(0)
+    flags = flags_ref[s]
+
+    @pl.when(flags & 1 == 1)
+    def _():
+        state[...] = jnp.concatenate(
+            [tfin_ref[0], jnp.zeros((P, 1), jnp.float32)], axis=1
+        )
+
+    live_bit = (flags >> 1) & 1 == 1
+    half = P // 2
+    for h in (0, 1):
+        rows = slice(h * half, (h + 1) * half)
+        half_live = (flags >> (3 + h)) & 1 == 1
+
+        @pl.when(live_bit & half_live)
+        def _(h=h, rows=rows):
+            dbuf[h] = _bwd_half_body_rev(
+                cfg, tile_ref, chunk_ref, lo_ref, hi_ref, tstart_ref,
+                data_ref, gcolor_ref, galpha_ref, livecnt_ref, state, s,
+                rows, h * half, half,
+            )
+
+        @pl.when(live_bit & jnp.logical_not(half_live))
+        def _(h=h):
+            dbuf[h] = jnp.zeros(dbuf.shape[1:], dbuf.dtype)
+
+    @pl.when(live_bit)
+    def _():
+        d_sum = dbuf[0] + dbuf[1]
+        d_chunk = jnp.concatenate(
+            [d_sum[0:6], jnp.abs(d_sum[0:2]), d_sum[8:]], axis=0
+        )
+
+        if PACKED_ROW_MAJOR:
+            d_chunk = d_chunk.T
+
+        @pl.when((flags >> 2) & 1 == 1)
+        def _():
+            dout_ref[...] = d_chunk
+
+        @pl.when((flags >> 2) & 1 == 0)
+        def _():
+            dout_ref[...] += d_chunk
+
+
+def _bwd_half_body_rev(
+    cfg, tile_ref, chunk_ref, lo_ref, hi_ref, tstart_ref,
+    data_ref, gcolor_ref, galpha_ref, livecnt_ref, state, s, rows,
+    row_offset, n_rows,
+):
+    K = cfg.chunk
+    px, py = _pixel_coords(cfg, tile_ref[s], row_offset=row_offset, n_rows=n_rows)
+    v = _alphas(cfg, _load_data(data_ref), px, py)
+    slot = chunk_ref[s] * K + jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    in_range = (slot >= lo_ref[s]) & (slot < hi_ref[s])
+    vis = v["vis"] & in_range
+    a_eff = jnp.where(in_range, v["a_eff"], 0.0)
+    T_after = state[rows, 0:1]
+    r_after_carry = state[rows, 1:2]
+    g_color = gcolor_ref[0, :, rows]  # (C, n_rows)
+    g_alpha = galpha_ref[0, rows]  # (n_rows, 1)
+    livecnt = livecnt_ref[0, rows]  # (n_rows, 1)
+
+    # rank of each slot within the tile's sorted run; the forward's
+    # per-pixel live count is exactly the termination cutoff (live is
+    # monotone in rank), so live = rank < livecnt reproduces the forward's
+    # live set without forward transmittance.
+    rank = (slot - tstart_ref[tile_ref[s]]).astype(jnp.float32)  # (1, K)
+    live = (rank < livecnt).astype(jnp.float32)  # (n_rows, K)
+    al = a_eff * live
+    one_minus = 1.0 - al
+    log_om = jnp.log(one_minus)
+
+    # T before slot k (forward sense) = T_after_chunk / prod_{j>=k}(1-al_j):
+    # suffix-INCLUSIVE log sum, then one exp. Live transmittances stay above
+    # TRANSMITTANCE_EPS * (1 - MAX_ALPHA), so the reconstruction divides by
+    # factors bounded away from 0 — no cancellation anywhere.
+    sl = _sumsuffix_lanes(log_om, excl=False, prec=SCAN_PRECISION_REV)
+    excl_T = T_after * jnp.exp(-sl)
+    comp = jnp.where(vis, live, 0.0)
+    w = al * excl_T  # al already carries the live gate; vis is inside a_eff
+
+    C_dim = g_color.shape[0]
+    b = g_alpha
+    for ci in range(C_dim):
+        b = b + g_color[ci : ci + 1, :].T * v["cols"][ci : ci + 1, :]
+    wb = w * b
+    # suffix of DEEPER contributions: exclusive suffix within the chunk plus
+    # the carried sum of all previously processed (deeper) chunks
+    r_after = r_after_carry + _sumsuffix_lanes(wb, excl=True, prec=SCAN_PRECISION_REV)
+
+    da = (excl_T * b - r_after / one_minus) * comp
+
+    T_begin = T_after * jnp.exp(-jnp.sum(log_om, axis=1, keepdims=True))
+    r_new = r_after_carry + jnp.sum(wb, axis=1, keepdims=True)
+    state[rows] = jnp.concatenate([T_begin, r_new], axis=1)
+
+    return _grad_rows(cfg, tile_ref, data_ref, s, v, da, w, g_color, row_offset, n_rows)
 
 
 # -----------------------------------------------------------------------------
@@ -617,39 +851,52 @@ def _bwd_half_body(
 # -----------------------------------------------------------------------------
 
 
+def _data_spec(cfg: _Cfg, packed):
+    """BlockSpec for the per-intersection data chunk in either memory order."""
+    K = cfg.chunk
+    if PACKED_ROW_MAJOR:
+        D = packed.shape[1]
+        return pl.BlockSpec((K, D), lambda s, st, sf, sc, sl, sh, *r: (sc[s], 0))
+    D = packed.shape[0]
+    return pl.BlockSpec((D, K), lambda s, st, sf, sc, sl, sh, *r: (0, sc[s]))
+
+
 def _run_fwd(cfg: _Cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap):
     P = cfg.tile_size * cfg.tile_size
     num_tiles = cfg.tiles_w * cfg.tiles_h
-    D = packed.shape[0]
-    K = cfg.chunk
+    rev = BWD_WALK == "rev"
+    tile_block = pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh, *r: (st[s], 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(num_seg_cap,),
         in_specs=[
-            pl.BlockSpec((D, K), lambda s, st, sf, sc, sl, sh: (0, sc[s])),
+            _data_spec(cfg, packed),
         ],
         out_specs=[
-            pl.BlockSpec((1, cfg.channels, P), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
-        ],
+            pl.BlockSpec((1, cfg.channels, P), lambda s, st, sf, sc, sl, sh, *r: (st[s], 0, 0)),
+            tile_block,
+            tile_block,
+        ] + ([tile_block] if rev else []),
         scratch_shapes=[pltpu.VMEM((P, 2), jnp.float32)]
         + ([pltpu.SMEM((2,), jnp.int32)] if FWD_EARLY_OUT else []),
     )
-    color, alpha, livecnt = pl.pallas_call(
+    tile_shape = jax.ShapeDtypeStruct((num_tiles + 1, P, 1), jnp.float32)
+    outs = pl.pallas_call(
         functools.partial(_fwd_kernel, cfg),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles + 1, cfg.channels, P), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles + 1, P, 1), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles + 1, P, 1), jnp.float32),
-        ],
+            tile_shape,
+            tile_shape,
+        ] + ([tile_shape] if rev else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=cfg.interpret,
     )(seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, packed)
-    return color, alpha, livecnt
+    color, alpha, livecnt = outs[:3]
+    t_final = outs[3] if rev else None
+    return color, alpha, livecnt, t_final
 
 
 def _run_bwd(
@@ -657,18 +904,18 @@ def _run_bwd(
     g_color, g_alpha, r_total,
 ):
     P = cfg.tile_size * cfg.tile_size
-    D = packed.shape[0]
+    D = packed.shape[1] if PACKED_ROW_MAJOR else packed.shape[0]
     K = cfg.chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(num_seg_cap,),
         in_specs=[
-            pl.BlockSpec((D, K), lambda s, st, sf, sc, sl, sh: (0, sc[s])),
-            pl.BlockSpec((1, cfg.channels, P), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh: (st[s], 0, 0)),
+            _data_spec(cfg, packed),
+            pl.BlockSpec((1, cfg.channels, P), lambda s, st, sf, sc, sl, sh, *r: (st[s], 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh, *r: (st[s], 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh, *r: (st[s], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((D, K), lambda s, st, sf, sc, sl, sh: (0, sc[s])),
+        out_specs=_data_spec(cfg, packed),
         scratch_shapes=[
             pltpu.VMEM((P, 3), jnp.float32),
             pltpu.VMEM((2, D, K), jnp.float32),
@@ -685,6 +932,53 @@ def _run_bwd(
     )(seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, packed, g_color, g_alpha, r_total)
 
 
+def _run_bwd_rev(
+    cfg: _Cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi,
+    tile_starts, num_seg_cap, g_color, g_alpha, t_final, livecnt,
+):
+    """Reverse-walk variant: the seg_* tables must already be REVERSED;
+    tile_starts rides as a 6th scalar-prefetch so the kernel can compute
+    each slot's rank within its tile's sorted run."""
+    assert SCAN_IMPL == "mxu", "BWD_WALK='rev' requires MXU scans"
+    P = cfg.tile_size * cfg.tile_size
+    D = packed.shape[1] if PACKED_ROW_MAJOR else packed.shape[0]
+    K = cfg.chunk
+    tile_block = pl.BlockSpec(
+        (1, P, 1), lambda s, st, sf, sc, sl, sh, ts_: (st[s], 0, 0)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(num_seg_cap,),
+        in_specs=[
+            _data_spec(cfg, packed),
+            pl.BlockSpec(
+                (1, cfg.channels, P),
+                lambda s, st, sf, sc, sl, sh, ts_: (st[s], 0, 0),
+            ),
+            tile_block,  # g_alpha
+            tile_block,  # t_final
+            tile_block,  # livecnt
+        ],
+        out_specs=_data_spec(cfg, packed),
+        scratch_shapes=[
+            pltpu.VMEM((P, 2), jnp.float32),
+            pltpu.VMEM((2, D, K), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_rev, cfg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=cfg.interpret,
+    )(
+        seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts,
+        packed, g_color, g_alpha, t_final, livecnt,
+    )
+
+
 # -----------------------------------------------------------------------------
 # custom_vjp over the tile-blocked pixel stage
 # -----------------------------------------------------------------------------
@@ -692,13 +986,13 @@ def _run_bwd(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _rasterize_tiles(cfg, num_seg_cap, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts):
-    color, alpha, _ = _run_fwd(cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap)
+    color, alpha, _, _ = _run_fwd(cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap)
     return color, alpha
 
 
 def _rasterize_tiles_fwd(cfg, num_seg_cap, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts):
-    color, alpha, livecnt = _run_fwd(cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap)
-    res = (packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts, color, alpha, livecnt)
+    color, alpha, livecnt, t_final = _run_fwd(cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap)
+    res = (packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts, color, alpha, livecnt, t_final)
     return (color, alpha), res
 
 
@@ -752,6 +1046,14 @@ def _mask_unvisited_chunks(d_packed: jax.Array, visited: jax.Array, chunk: int) 
     be a select: a multiply turns inf*0 into NaN and poisons the whole
     per-Gaussian reduction — the root cause of the step-1451 training
     collapse (docs/NOTES_ROUND2.md)."""
+    if PACKED_ROW_MAJOR:
+        cap, d_rows = d_packed.shape
+        n_chunks = cap // chunk
+        return jnp.where(
+            (visited > 0)[:, None, None],
+            d_packed.reshape(n_chunks, chunk, d_rows),
+            0.0,
+        ).reshape(cap, d_rows)
     d_rows, cap = d_packed.shape
     n_chunks = cap // chunk
     return jnp.where(
@@ -761,24 +1063,54 @@ def _mask_unvisited_chunks(d_packed: jax.Array, visited: jax.Array, chunk: int) 
     ).reshape(d_rows, cap)
 
 
-def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
-    packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts, color, alpha, livecnt = res
-    g_color, g_alpha = cots
-    r_total = (
-        jnp.einsum(
-            "tcp,tcp->tp", color, g_color, precision=jax.lax.Precision.HIGHEST
-        )[..., None]
-        + alpha * g_alpha
+def _reverse_tables(seg_tile, flags_bwd, chunk_bwd, seg_lo, seg_hi, n_chunks):
+    """Flip the segment tables for the reverse walk and rebuild the
+    order-dependent flag bits. Chunk/slot POSITIONS are absolute (the out
+    BlockSpec indexes by chunk id), so only the walk order flips:
+
+      bit0 (init): first segment of the tile IN REVERSE = last in forward.
+      bit2 (chunk writer): first LIVE toucher of each chunk in reverse; a
+        dead segment repeats the nearest already-visited live chunk so it
+        never opens an unwritten output window (Mosaic flushes on window
+        change without tracking writes). In reverse order live chunks are
+        monotone non-increasing, so `cummin` carries the most recent one.
+    """
+    S = seg_tile.shape[0]
+    tile_r = seg_tile[::-1]
+    flags_r = flags_bwd[::-1]
+    chunk_r = chunk_bwd[::-1]
+    live_r = (flags_r >> 1) & 1 == 1
+    first_r = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), tile_r[1:] != tile_r[:-1]]
     )
+    big = jnp.int32(n_chunks)
+    carried = jax.lax.cummin(jnp.where(live_r, chunk_r, big), axis=0)
+    chunk_safe = jnp.where(carried == big, 0, carried).astype(jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), big, jnp.int32), carried[:-1]])
+    chunk_first = live_r & (chunk_r != prev)
+    flags_rev = (
+        first_r.astype(jnp.int32)
+        + (flags_r & 2)  # live bit
+        + 4 * chunk_first.astype(jnp.int32)
+        + (flags_r & (8 + 16))  # half-live bits
+    )
+    return tile_r, flags_rev, chunk_safe, seg_lo[::-1], seg_hi[::-1]
+
+
+def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
+    packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts, color, alpha, livecnt, t_final = res
+    g_color, g_alpha = cots
     live0 = (seg_flags >> 1) & 1
     # without table EO, both half-live bits mirror the segment live bit
     flags_bwd, chunk_bwd = seg_flags + 8 * live0 + 16 * live0, seg_chunk
     visited = None
+    n_chunks = (
+        packed.shape[0] if PACKED_ROW_MAJOR else packed.shape[1]
+    ) // cfg.chunk
     if BWD_EARLY_OUT:
         flags_bwd, chunk_bwd, live = _bwd_tables_early_out(
             cfg, seg_tile, seg_flags, seg_chunk, seg_lo, tile_starts, livecnt
         )
-        n_chunks = packed.shape[1] // cfg.chunk
         visited = (
             jnp.zeros((n_chunks,), jnp.float32)
             .at[jnp.where(live, chunk_bwd, n_chunks)]
@@ -789,10 +1121,25 @@ def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
     # packed-layout concat routes rows 6:8 to `means2d_sink`'s cotangent —
     # the absgrad reduction rides the one sort-based reduction for free
     # (a separate jax.ops.segment_sum here cost ~1.5 ms of scatter).
-    d_packed = _run_bwd(
-        cfg, packed, seg_tile, flags_bwd, chunk_bwd, seg_lo, seg_hi, num_seg_cap,
-        g_color, g_alpha, r_total,
-    )
+    if BWD_WALK == "rev":
+        tile_r, flags_r, chunk_r, lo_r, hi_r = _reverse_tables(
+            seg_tile, flags_bwd, chunk_bwd, seg_lo, seg_hi, n_chunks
+        )
+        d_packed = _run_bwd_rev(
+            cfg, packed, tile_r, flags_r, chunk_r, lo_r, hi_r, tile_starts,
+            num_seg_cap, g_color, g_alpha, t_final, livecnt,
+        )
+    else:
+        r_total = (
+            jnp.einsum(
+                "tcp,tcp->tp", color, g_color, precision=jax.lax.Precision.HIGHEST
+            )[..., None]
+            + alpha * g_alpha
+        )
+        d_packed = _run_bwd(
+            cfg, packed, seg_tile, flags_bwd, chunk_bwd, seg_lo, seg_hi, num_seg_cap,
+            g_color, g_alpha, r_total,
+        )
     if visited is not None:
         d_packed = _mask_unvisited_chunks(d_packed, visited, cfg.chunk)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
@@ -873,9 +1220,18 @@ def rasterize_pixels_pallas(
     # bwd kernel writes the per-intersection |d means2d| into rows 6:8, and
     # the `_gather_rows` VJP + this concat's transpose deliver the absgrad
     # as the sink's cotangent with no extra reduction.
-    d_rows = _round_up(8 + C, 8)
+    gate = tile_size != CONTRACT_TILE
+    d_rows = _round_up(8 + C + (1 if gate else 0), 8)
     if means2d_sink is None:
         means2d_sink = jnp.zeros((n, 2), jnp.float32)
+    gate_cols = (
+        # contract-bbox gate (see _alphas): radii ride the first pad column;
+        # stop_gradient keeps the bbox a non-differentiable cut, exactly as
+        # the binning's tile_bounds (and gsplat's isect_tiles) treat radii
+        [jax.lax.stop_gradient(radii).astype(means2d.dtype)[:, None]]
+        if gate
+        else []
+    )
     per_gauss = jnp.concatenate(
         [
             means2d,
@@ -883,7 +1239,8 @@ def rasterize_pixels_pallas(
             opacities[:, None],
             means2d_sink.astype(means2d.dtype),
             colors,
-            jnp.zeros((n, d_rows - 8 - C), means2d.dtype),
+            *gate_cols,
+            jnp.zeros((n, d_rows - 8 - C - len(gate_cols)), means2d.dtype),
         ],
         axis=-1,
     )  # (N, d_rows)
@@ -892,7 +1249,9 @@ def rasterize_pixels_pallas(
     )
     packed = _gather_rows(
         per_gauss, isect.gauss_ids, isect.offsets, isect.counts
-    ).T  # (D, capacity) — differentiable; custom sort-based segment-sum VJP
+    )  # (capacity, D) — differentiable; custom sort-based segment-sum VJP
+    if not PACKED_ROW_MAJOR:
+        packed = packed.T  # legacy (D, capacity) kernel memory order
 
     seg_flags = (
         isect.seg_first + 2 * isect.seg_live + 4 * isect.seg_chunk_first

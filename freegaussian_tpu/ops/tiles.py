@@ -34,9 +34,12 @@ PRECULL_T_MAX = 32
 # the same tile whose depths agree in the top 20 bits (~4 ulp at any
 # magnitude... i.e. within 2^-12 relative) composite in expansion order
 # instead of true depth order — an ulp-class image change on real scenes,
-# but a CONTRACT change vs the oracle. A/B knob (tpu_checks r3ab);
-# default off until the win justifies the tie semantics.
-SINGLE_KEY_SORT = False
+# but a CONTRACT change vs the oracle. Default ON since r3: +1% step on
+# the honest bench and parity-suite clean at the 2^-12 tie granularity
+# (docs/NOTES_ROUND3.md); set False to restore oracle-exact tie order.
+# The num_tiles < 2^11 guard below falls back to the exact 2-key sort
+# automatically on images with more than 2047 tiles.
+SINGLE_KEY_SORT = True
 
 
 class Intersections(NamedTuple):

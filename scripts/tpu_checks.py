@@ -96,7 +96,7 @@ def clustered_scene(n=3000, width=256, height=256, seed=0, opac_scale=0.98):
     return means2d, conics, colors, opacities, depths, radii
 
 
-def run_parity():
+def run_parity(tile_size=16):
     from freegaussian_tpu.ops.rasterize_pallas import rasterize_pixels_pallas
     from freegaussian_tpu.ops.rasterize_ref import rasterize_pixels_reference
 
@@ -115,7 +115,10 @@ def run_parity():
 
         def pal(m, c, col, op, dep, rad, w, h):
             # explicit capacity: the oracle never drops intersections
-            return rasterize_pixels_pallas(m, c, col, op, dep, rad, w, h, capacity=16 * n)
+            return rasterize_pixels_pallas(
+                m, c, col, op, dep, rad, w, h,
+                capacity=16 * n, tile_size=tile_size,
+            )
 
         def loss(fn, m, c, col, op):
             out = fn(m, c, col, op, depths, radii, width, height)

@@ -300,12 +300,24 @@ def test_unvisited_chunk_mask_discards_nonfinite_garbage():
     d[:, 1 * chunk : 2 * chunk] = np.inf
     d[3:7, 3 * chunk : 4 * chunk] = np.nan
     visited = jnp.asarray([1.0, 0.0, 1.0, 0.0])
-    out = np.asarray(rp._mask_unvisited_chunks(jnp.asarray(d), visited, chunk))
-    assert np.isfinite(out).all()
-    np.testing.assert_array_equal(out[:, 0 * chunk : 1 * chunk], 1.0)
-    np.testing.assert_array_equal(out[:, 1 * chunk : 2 * chunk], 0.0)
-    np.testing.assert_array_equal(out[:, 2 * chunk : 3 * chunk], 1.0)
-    np.testing.assert_array_equal(out[:, 3 * chunk : 4 * chunk], 0.0)
+    old = rp.PACKED_ROW_MAJOR
+    try:
+        rp.PACKED_ROW_MAJOR = False
+        out = np.asarray(
+            rp._mask_unvisited_chunks(jnp.asarray(d), visited, chunk)
+        )
+        rp.PACKED_ROW_MAJOR = True
+        out_rm = np.asarray(
+            rp._mask_unvisited_chunks(jnp.asarray(d.T.copy()), visited, chunk)
+        ).T
+    finally:
+        rp.PACKED_ROW_MAJOR = old
+    for o in (out, out_rm):
+        assert np.isfinite(o).all()
+        np.testing.assert_array_equal(o[:, 0 * chunk : 1 * chunk], 1.0)
+        np.testing.assert_array_equal(o[:, 1 * chunk : 2 * chunk], 0.0)
+        np.testing.assert_array_equal(o[:, 2 * chunk : 3 * chunk], 1.0)
+        np.testing.assert_array_equal(o[:, 3 * chunk : 4 * chunk], 0.0)
 
 
 def test_ellipse_tile_cull_is_bit_exact():
@@ -565,3 +577,95 @@ def test_single_key_sort_matches_two_key():
         T.SINGLE_KEY_SORT = old
     np.testing.assert_array_equal(np.asarray(r1k), np.asarray(r2k))
     np.testing.assert_array_equal(np.asarray(a1k), np.asarray(a2k))
+
+
+def test_packed_row_major_exact_match():
+    """PACKED_ROW_MAJOR stores the per-intersection data (cap, D) row-major
+    and flips it to the kernels' (D, K) compute order INSIDE the kernel —
+    the same values flow through the identical compositing math, so image,
+    alpha, and every gradient must match the legacy (D, cap) order EXACTLY
+    (bit-for-bit: no reduction is regrouped by the flip)."""
+    from freegaussian_tpu.ops import rasterize_pallas as rp
+
+    args = make_scene(n=200, width=48, height=32, seed=11, opac_scale=0.98)
+    means2d, conics, colors, opacities, depths, radii = args
+    target = jax.random.uniform(jax.random.PRNGKey(4), (32, 48, 3))
+
+    def run(flag):
+        old = rp.PACKED_ROW_MAJOR
+        rp.PACKED_ROW_MAJOR = flag
+        try:
+            def loss(m, c, col, op):
+                render, alpha, _ = rasterize_pixels_pallas(
+                    m, c, col, op, depths, radii, 48, 32, interpret=True
+                )
+                return jnp.sum((render - target) ** 2) + 0.3 * jnp.sum(alpha**2)
+
+            render, alpha, _ = rasterize_pixels_pallas(*args, 48, 32, interpret=True)
+            grads = jax.grad(loss, argnums=(0, 1, 2, 3))(
+                means2d, conics, colors, opacities
+            )
+            return render, alpha, grads
+        finally:
+            rp.PACKED_ROW_MAJOR = old
+
+    r0, a0, g0 = run(False)
+    r1, a1, g1 = run(True)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r0))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a0))
+    for name, x, y in zip(["means2d", "conics", "colors", "opacities"], g1, g0):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+
+
+def test_kernel_tile_size_keeps_contract_bbox():
+    """The kernel tile size is a pure performance knob: gsplat's CONTRACT
+    quantizes each Gaussian's radius bbox to 16-px tiles (oracle
+    tile_bounds), and at op ~ 1 the threshold ellipse reaches ~3.33 sigma —
+    PAST the 3-sigma radii — so a coarser kernel tile would let real
+    alpha >= threshold contributions through that the contract cuts.
+    The in-kernel contract gate (_alphas, CONTRACT_TILE) must keep tile-32
+    renders and gradients oracle-close exactly like tile-16 (the r3 bug:
+    61 pixels at 7e-2 before the gate, docs/NOTES_ROUND3.md)."""
+    args = make_scene(n=300, width=96, height=64, seed=13, opac_scale=0.999)
+    means2d, conics, colors, opacities, depths, radii = args
+    r_ref, a_ref, _ = rasterize_pixels_reference(*args, 96, 64)
+    target = jax.random.uniform(jax.random.PRNGKey(2), (64, 96, 3))
+
+    def loss_ref(m, c, col, op):
+        render, alpha, _ = rasterize_pixels_reference(
+            m, c, col, op, depths, radii, 96, 64
+        )
+        return jnp.sum((render - target) ** 2) + 0.3 * jnp.sum(alpha**2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+        means2d, conics, colors, opacities
+    )
+    for ts in (16, 32):
+        r, a, _ = rasterize_pixels_pallas(
+            *args, 96, 64, tile_size=ts, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(r_ref), atol=5e-5,
+            err_msg=f"tile_size={ts} fwd",
+        )
+
+        def loss_pal(m, c, col, op):
+            render, alpha, _ = rasterize_pixels_pallas(
+                m, c, col, op, depths, radii, 96, 64,
+                tile_size=ts, interpret=True,
+            )
+            return jnp.sum((render - target) ** 2) + 0.3 * jnp.sum(alpha**2)
+
+        g = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(
+            means2d, conics, colors, opacities
+        )
+        # dense-termination scenes amplify chunk-regrouping noise through
+        # the backward's r_after cancellation (~3e-2 rel on a few conic
+        # elements even at tile 16 — measured, docs/NOTES_ROUND3.md); the
+        # bbox-contract bug this test pins showed up as 7e-2 in the FORWARD
+        # image above, so class-level gradient tolerances suffice here.
+        for name, x, y in zip(["means2d", "conics", "colors", "opacities"], g, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=5e-2, atol=1e-3,
+                err_msg=f"tile_size={ts} {name}",
+            )
