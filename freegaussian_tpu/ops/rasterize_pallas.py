@@ -142,7 +142,10 @@ PACKED_ROW_MAJOR = False
 # accumulating the suffix sums DIRECTLY — every intermediate is error-
 # relative-to-itself, so the scans run at the cheap split2 precision (1/3
 # of HIGHEST's MXU passes) without amplification. MXU scans only.
-BWD_WALK = "fwd"
+# Default "rev" since r3: 13.85M vs 12.83M px/s on the honest bench, parity
+# suite PASS on chip, and oracle-gradient error on dense scenes is a CLASS
+# BETTER than fwd (conic rel 5e-3 vs 3.4e-2) — the cancellation is gone.
+BWD_WALK = "rev"
 
 # Scan precision for the reverse-walk backward's suffix scans (safe at
 # split2 by construction — see BWD_WALK). None -> SCAN_PRECISION.
