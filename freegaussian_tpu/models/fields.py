@@ -210,6 +210,27 @@ def deform_apply_fused(
         idx = 2
     ws = tuple(p[f"TorchLinear_{idx + i}"]["kernel"] for i in range(field.depth))
     bs = tuple(p[f"TorchLinear_{idx + i}"]["bias"] for i in range(field.depth))
+    if t_emb.shape[0] == 1 and impl == "fused":
+        # Whole field in one kernel pair: trunk + the four packed heads —
+        # the (N, 256) activations never leave VMEM (mlp_pallas
+        # fused_deform_full); only the 13 packed head outputs cross HBM.
+        from ..ops.mlp_pallas import fused_deform_full
+
+        hp_ = idx + field.depth
+        heads_ = [p[f"TorchLinear_{hp_ + j}"] for j in range(4)]
+        y = fused_deform_full(
+            x, t_emb.astype(jnp.float32), ws, bs,
+            [hh["kernel"] for hh in heads_], [hh["bias"] for hh in heads_],
+            num_freqs=field.multires, interpret=interpret, block=block,
+        )
+        w = y[:, 0:3]
+        v = y[:, 3:6]
+        rotation = y[:, 6:10]
+        scaling = y[:, 10:13]
+        theta = safe_norm(w, axis=-1, keepdims=True)
+        w = w / theta + 1e-5
+        v = v / theta + 1e-5
+        return SE3Screw(w=w, v=v, theta=theta), rotation, scaling
     if t_emb.shape[0] == 1 and impl == "xla":
         from ..ops.mlp_pallas import xla_deform_trunk
 

@@ -133,14 +133,14 @@ def make_deform_apply(cfg: SplatConfig, field: DeformField):
 
     on_tpu = _jax.devices()[0].platform == "tpu"
     impl = cfg.deform_impl if (on_tpu and cfg.deform_bf16) else "flax"
-    if impl in ("pallas", "xla"):
+    if impl in ("pallas", "xla", "fused"):
 
         def apply(variables, x, t):
             return deform_apply_fused(field, variables, x, t, impl=impl)
 
-        # the Pallas backward remats per-block in VMEM; the XLA variant wants
+        # the Pallas backwards remat per-block in VMEM; the XLA variant wants
         # the normal outer jax.checkpoint like the flax chain
-        apply.fused = impl == "pallas"
+        apply.fused = impl in ("pallas", "fused")
         return apply
     return field.apply
 

@@ -531,6 +531,165 @@ def _field_bwd_kernel(x_ref, dh_ref, S_ref, kind_ref, trow_ref, *refs):
     dx_ref[...] = _dot_f32(d_scaled, S, ((1,), (1,)))
 
 
+HEAD_LANES = 16  # packed head-output lanes (deform: 3+3+4+3 = 13 used)
+
+
+def _field_fwd_kernel_heads(x_ref, S_ref, kind_ref, trow_ref, *refs):
+    """Heads-folded forward: trunk + one packed (H, 16) head matmul, so the
+    (B, 256) activations never leave VMEM — the kernel emits only the 13
+    packed head outputs (w|v|rotation|scaling for the deform field)."""
+    w = [refs[i][...] for i in range(DEPTH)]
+    b = [refs[DEPTH + i][...] for i in range(DEPTH)]
+    hw = refs[2 * DEPTH][...]
+    hb = refs[2 * DEPTH + 1][...]
+    out_ref = refs[2 * DEPTH + 2]
+    emb, _ = _embed(x_ref[...], S_ref[...], kind_ref[...], trow_ref[...])
+    h = _forward_acts(emb, w, b, keep=False)[-1]
+    out_ref[...] = _mm(h, hw) + hb
+
+
+def _field_bwd_kernel_heads(x_ref, dy_ref, S_ref, kind_ref, trow_ref, *refs):
+    w = [refs[i][...] for i in range(DEPTH)]
+    b = [refs[DEPTH + i][...] for i in range(DEPTH)]
+    hw = refs[2 * DEPTH][...]
+    dx_ref = refs[2 * DEPTH + 1]
+    dw_refs = refs[2 * DEPTH + 2 : 3 * DEPTH + 2]
+    db_refs = refs[3 * DEPTH + 2 : 4 * DEPTH + 2]
+    dhw_ref = refs[4 * DEPTH + 2]
+    dhb_ref = refs[4 * DEPTH + 3]
+    dtrow_ref = refs[4 * DEPTH + 4]
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        for r in (*dw_refs, *db_refs, dhw_ref, dhb_ref, dtrow_ref):
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    S = S_ref[...]
+    kind = kind_ref[...]
+    emb, scaled = _embed(x_ref[...], S, kind, trow_ref[...])
+    acts = _forward_acts(emb, w, b)  # in-kernel rematerialization
+
+    dy = dy_ref[...]  # (B, HEAD_LANES) f32
+    dhb_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    dhw_ref[...] += _mm_tn(acts[-1], dy)
+    g = _mm_nt(dy, hw)  # (B, H)
+    g_skip = None
+    d_emb = None
+    for i in range(DEPTH - 1, -1, -1):
+        mask_src = acts[i] if ACT_DTYPE == jnp.float32 else acts[i].astype(jnp.float32)
+        g = g * (mask_src > 0)
+        db_refs[i][...] += jnp.sum(g, axis=0, keepdims=True)
+        if i == 0:
+            dw_refs[0][...] += _mm_tn(emb, g)
+            d_emb = _mm_nt(g, w[0]) + g_skip
+        elif i == SKIP_AT + 1:
+            dw_refs[i][0:IN_PAD] += _mm_tn(emb, g)
+            dw_refs[i][IN_PAD : IN_PAD + H] += _mm_tn(acts[i - 1], g)
+            g_skip = _mm_nt(g, w[i][0:IN_PAD])
+            g = _mm_nt(g, w[i][IN_PAD : IN_PAD + H])
+        else:
+            dw_refs[i][...] += _mm_tn(acts[i - 1], g)
+            g = _mm_nt(g, w[i])
+
+    dtrow_ref[...] += jnp.sum(d_emb, axis=0, keepdims=True)
+    d_scaled = (
+        jnp.where(
+            kind == 1.0,
+            jnp.cos(scaled),
+            jnp.where(kind == 2.0, -jnp.sin(scaled), 1.0),
+        )
+        * d_emb
+    )
+    dx_ref[...] = _dot_f32(d_scaled, S, ((1,), (1,)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_field_heads(interpret: bool, block: int, xsrc, S, kind, trow, ws, bs, hw, hb):
+    return _fused_field_heads_fwd(
+        interpret, block, xsrc, S, kind, trow, ws, bs, hw, hb
+    )[0]
+
+
+def _fused_field_heads_fwd(interpret, block, xsrc, S, kind, trow, ws, bs, hw, hb):
+    n = xsrc.shape[0]
+    ws_bf16 = tuple(w.astype(ACT_DTYPE) for w in ws)
+    bs2d = tuple(b.reshape(1, H).astype(jnp.float32) for b in bs)
+    hw_c = hw.astype(ACT_DTYPE)
+    hb2d = hb.reshape(1, HEAD_LANES).astype(jnp.float32)
+    fblock = _fwd_block_for(block)
+    in_specs = [pl.BlockSpec((fblock, XSRC), lambda s: (s, 0))]
+    in_specs += [_const_spec(a.shape) for a in (S, kind, trow)]
+    in_specs += [_const_spec(w.shape) for w in ws_bf16]
+    in_specs += [_const_spec(b.shape) for b in bs2d]
+    in_specs += [_const_spec(hw_c.shape), _const_spec(hb2d.shape)]
+    y = pl.pallas_call(
+        _field_fwd_kernel_heads,
+        grid=(n // fblock,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((fblock, HEAD_LANES), lambda s: (s, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, HEAD_LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(FWD_SEMANTICS,)
+        ),
+        interpret=interpret,
+    )(xsrc, S, kind, trow, *ws_bf16, *bs2d, hw_c, hb2d)
+    return y, (xsrc, S, kind, trow, ws_bf16, bs2d, hw_c)
+
+
+def _fused_field_heads_bwd(interpret, block, res, dy):
+    xsrc, S, kind, trow, ws_bf16, bs2d, hw_c = res
+    n = xsrc.shape[0]
+    dy = dy.astype(jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec((block, XSRC), lambda s: (s, 0)),
+        pl.BlockSpec((block, HEAD_LANES), lambda s: (s, 0)),
+    ]
+    in_specs += [_const_spec(a.shape) for a in (S, kind, trow)]
+    in_specs += [_const_spec(w.shape) for w in ws_bf16]
+    in_specs += [_const_spec(b.shape) for b in bs2d]
+    in_specs += [_const_spec(hw_c.shape)]
+
+    out_specs = [pl.BlockSpec((block, XSRC), lambda s: (s, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((n, XSRC), jnp.float32)]
+    for w in ws_bf16:
+        out_specs.append(_const_spec(w.shape))
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+    for b in bs2d:
+        out_specs.append(_const_spec(b.shape))
+        out_shapes.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
+    out_specs += [_const_spec(hw_c.shape), _const_spec((1, HEAD_LANES))]
+    out_shapes += [
+        jax.ShapeDtypeStruct(hw_c.shape, jnp.float32),
+        jax.ShapeDtypeStruct((1, HEAD_LANES), jnp.float32),
+    ]
+    out_specs.append(_const_spec(trow.shape))
+    out_shapes.append(jax.ShapeDtypeStruct(trow.shape, jnp.float32))
+
+    outs = pl.pallas_call(
+        _field_bwd_kernel_heads,
+        grid=(n // block,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xsrc, dy, S, kind, trow, *ws_bf16, *bs2d, hw_c)
+
+    dxsrc = outs[0]
+    dws = tuple(outs[1 : 1 + DEPTH])
+    dbs = tuple(o.reshape(H) for o in outs[1 + DEPTH : 1 + 2 * DEPTH])
+    dhw = outs[1 + 2 * DEPTH]
+    dhb = outs[2 + 2 * DEPTH].reshape(HEAD_LANES)
+    dtrow = outs[3 + 2 * DEPTH]
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return dxsrc, f0(S), f0(kind), dtrow, dws, dbs, dhw, dhb
+
+
+_fused_field_heads.defvjp(_fused_field_heads_fwd, _fused_field_heads_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _fused_field(interpret: bool, block: int, xsrc, S, kind, trow, ws, bs):
     return _fused_field_fwd(interpret, block, xsrc, S, kind, trow, ws, bs)[0]
@@ -655,6 +814,52 @@ def fused_deform_trunk(
         _pad_trunk_weights(ws, ein), tuple(bs),
     )
     return h[:n].astype(jnp.float32)
+
+
+def fused_deform_full(
+    x: jax.Array, t_emb: jax.Array, ws, bs, head_ws, head_bs, *, num_freqs=10,
+    interpret=None, block=None,
+):
+    """Whole deform field in ONE kernel pair: in-kernel embedding, trunk,
+    and the four packed (256 -> 3|3|4|3) heads — the (N, 256) activations
+    never touch HBM (the plain trunk kernel lost in-step to exactly that
+    round-trip + the heads' XLA glue, docs/NOTES_ROUND3.md). Returns the
+    (N, 13) packed head outputs [w|v|rotation|scaling]; callers slice.
+    Differentiable in x, t_emb, trunk and head parameters."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu",)
+    if block is None:
+        block = BLOCK
+    n = x.shape[0]
+    e2 = t_emb.shape[-1]
+    S, kind, width = _field_layout(num_freqs, sources=1)
+    ein = width + e2
+    if ws[0].shape != (ein, H) or ws[SKIP_AT + 1].shape != (ein + H, H):
+        raise ValueError("trunk weight shapes do not match embedding layout")
+    widths = [hw.shape[-1] for hw in head_ws]
+    used = sum(widths)
+    if used > HEAD_LANES:
+        raise ValueError(f"packed head outputs {used} exceed {HEAD_LANES}")
+    hw = jnp.concatenate(
+        list(head_ws) + [jnp.zeros((H, HEAD_LANES - used), head_ws[0].dtype)],
+        axis=-1,
+    )
+    hb = jnp.concatenate(
+        list(head_bs) + [jnp.zeros((HEAD_LANES - used,), head_bs[0].dtype)]
+    )
+    trow = jnp.zeros((1, 128), jnp.float32)
+    trow = jax.lax.dynamic_update_slice(
+        trow, t_emb.astype(jnp.float32), (0, width)
+    )
+    xsrc = jnp.concatenate(
+        [x.astype(jnp.float32), jnp.zeros((n, XSRC - 3), jnp.float32)], axis=-1
+    )
+    n_pad = _round_up(max(n, block), _fwd_block_for(block))
+    y = _fused_field_heads(
+        bool(interpret), int(block), _pad_rows(xsrc, n_pad), S, kind, trow,
+        _pad_trunk_weights(ws, ein), tuple(bs), hw, hb,
+    )
+    return y[:n, :used]
 
 
 def fused_control_trunk(

@@ -268,3 +268,69 @@ def test_xla_control_trunk_matches_reference():
     h_ref = reference_trunk(positional_embed(x, 10), v_emb, ws, bs)
     nerr = float(jnp.linalg.norm(h_xla - h_ref) / (jnp.linalg.norm(h_ref) + 1e-9))
     assert nerr < 2e-2, f"xla-vs-oracle {nerr}"
+
+
+def test_deform_apply_fused_full_matches_flax():
+    """impl="fused" folds the four heads INTO the field kernel — the (N, 256)
+    trunk activations never leave VMEM and only the 13 packed head outputs
+    cross HBM. Outputs and gradients must match the flax reference in the
+    bf16-trunk error class, and head/trunk/timenet params must all receive
+    gradient through the packed (256, 16) head matmul's custom VJP."""
+    field = DeformField(compute_dtype=jnp.bfloat16)
+    v = field.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)), jnp.zeros((1, 1)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (300, 3))
+    t = jnp.full((1, 1), 0.37)
+    d_ref, rot_ref, sc_ref = field.apply(v, x, t)
+    d_fus, rot_fus, sc_fus = deform_apply_fused(
+        field, v, x, t, interpret=True, impl="fused"
+    )
+    for name, a, b in [
+        ("w", d_fus.w, d_ref.w), ("v", d_fus.v, d_ref.v),
+        ("theta", d_fus.theta, d_ref.theta),
+        ("rot", rot_fus, rot_ref), ("scale", sc_fus, sc_ref),
+    ]:
+        scale = float(jnp.max(jnp.abs(b))) + 1e-3
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 3e-2, name
+
+    # cross-check against the trunk-only pallas path (same kernels up to the
+    # head matmul): these two should agree much tighter than vs flax
+    d_p, rot_p, sc_p = deform_apply_fused(
+        field, v, x, t, interpret=True, impl="pallas"
+    )
+    for name, a, b in [
+        ("w", d_fus.w, d_p.w), ("rot", rot_fus, rot_p), ("scale", sc_fus, sc_p),
+    ]:
+        scale = float(jnp.max(jnp.abs(b))) + 1e-3
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 3e-3, name
+
+    def loss(x, v):
+        d, r, s = deform_apply_fused(
+            field, v, x, t, interpret=True, impl="fused"
+        )
+        return jnp.sum(d.w) + jnp.sum(d.v) + jnp.sum(r) + jnp.sum(s)
+
+    def loss_ref(x, v):
+        d, r, s = field.apply(v, x, t)
+        return jnp.sum(d.w) + jnp.sum(d.v) + jnp.sum(r) + jnp.sum(s)
+
+    gx, gv = jax.grad(loss, argnums=(0, 1))(x, v)
+    gx_r, gv_r = jax.grad(loss_ref, argnums=(0, 1))(x, v)
+    # x-gradient normwise-close to the flax chain (inherent bf16 relu-mask
+    # divergence bounds this, same criterion as the trunk-only test)
+    nerr = float(jnp.linalg.norm(gx - gx_r) / (jnp.linalg.norm(gx_r) + 1e-6))
+    assert nerr < 0.15, f"dx norm rel err {nerr}"
+    gleaves = jax.tree.leaves(gv)
+    assert all(np.isfinite(np.asarray(g)).all() for g in gleaves)
+    nonzero = sum(float(jnp.max(jnp.abs(g))) > 0 for g in gleaves)
+    assert nonzero >= len(gleaves) - 2
+    # head weight gradients specifically (the new packed-head backward)
+    p, p_r = gv["params"], gv_r["params"]
+    head_names = [k for k in p if k.startswith("TorchLinear_")]
+    hp = 2 + field.depth  # blender timenet (2) + trunk
+    for j in range(4):
+        gk = p[f"TorchLinear_{hp + j}"]["kernel"]
+        gk_r = p_r[f"TorchLinear_{hp + j}"]["kernel"]
+        nerr = float(
+            jnp.linalg.norm(gk - gk_r) / (jnp.linalg.norm(gk_r) + 1e-6)
+        )
+        assert nerr < 0.15, f"head {j} kernel grad norm rel err {nerr}"
