@@ -77,9 +77,26 @@ def undistort_frame(
     newK[1, 2] -= y
     if depth is not None:
         if np.any(dist_cv):
-            depth = cv2.undistort(depth.astype(np.float32), K, dist_cv, None, newK)
+            # NEAREST remap (ADVICE r3): bilinear undistort blends depth
+            # across discontinuities, inventing values on neither side of an
+            # edge — the 3D flow lift then backprojects to phantom points.
+            # (The reference only ROI-crops depth and never remaps,
+            # freegaussian_datamanager.py:239-323; remapping at all is a
+            # deliberate alignment improvement, NEAREST keeps it edge-exact.)
+            mx, my = cv2.initUndistortRectifyMap(
+                K, dist_cv, None, newK,
+                (depth.shape[1], depth.shape[0]), cv2.CV_32FC1,
+            )
+            depth = cv2.remap(
+                depth.astype(np.float32), mx, my, cv2.INTER_NEAREST
+            )
         depth = depth[y : y + h, x : x + w]
     if mask is not None:
+        # Divergence note (ADVICE r3): the reference treats ANY nonzero mask
+        # value as foreground; the >127 threshold after a bilinear undistort
+        # re-binarizes at the half-intensity level, shrinking boundaries by
+        # up to half a pixel. Kept: the half-level cut is the unbiased
+        # rounding of an interpolated indicator.
         m8 = np.squeeze(mask).astype(np.uint8) * 255
         if np.any(dist_cv):
             m8 = cv2.undistort(m8, K, dist_cv, None, newK)

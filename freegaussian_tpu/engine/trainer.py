@@ -748,9 +748,12 @@ class Trainer:
             "fps": count / wall,
             "gaussian_count": int(jnp.sum(self.state.alive)),
             # explicit, never silently omitted: LPIPS is a headline reference
-            # metric (freegaussian_model.py:1005-1051); "unavailable" means no
-            # pretrained weights in this environment (models/metrics.py)
-            "lpips": float(np.mean(lpipss)) if lpipss else "unavailable",
+            # metric (freegaussian_model.py:1005-1051). Out-of-band sentinel
+            # (ADVICE r3): the numeric key is NaN when no pretrained weights
+            # exist in this environment, and `lpips_available` says which —
+            # a string here would break any numeric consumer of the dict.
+            "lpips": float(np.mean(lpipss)) if lpipss else float("nan"),
+            "lpips_available": bool(lpipss),
         }
         return result
 

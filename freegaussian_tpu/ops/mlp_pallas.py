@@ -545,7 +545,11 @@ def _field_fwd_kernel_heads(x_ref, S_ref, kind_ref, trow_ref, *refs):
     out_ref = refs[2 * DEPTH + 2]
     emb, _ = _embed(x_ref[...], S_ref[...], kind_ref[...], trow_ref[...])
     h = _forward_acts(emb, w, b, keep=False)[-1]
-    out_ref[...] = _mm(h, hw) + hb
+    # Heads at f32/HIGHEST (ADVICE r3): w/v/theta form the SE3 screw axis
+    # (later divided by theta), so the tiny (H, 16) head matmul runs at full
+    # precision to match the impls that compute heads in f32 outside the
+    # trunk. Cost is negligible next to the trunk's 8 (B, 256) matmuls.
+    out_ref[...] = _dot_f32(h.astype(jnp.float32), hw, ((1,), (0,))) + hb
 
 
 def _field_bwd_kernel_heads(x_ref, dy_ref, S_ref, kind_ref, trow_ref, *refs):
@@ -572,8 +576,9 @@ def _field_bwd_kernel_heads(x_ref, dy_ref, S_ref, kind_ref, trow_ref, *refs):
 
     dy = dy_ref[...]  # (B, HEAD_LANES) f32
     dhb_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
-    dhw_ref[...] += _mm_tn(acts[-1], dy)
-    g = _mm_nt(dy, hw)  # (B, H)
+    # f32/HIGHEST head grads to mirror the forward's f32 heads (ADVICE r3).
+    dhw_ref[...] += _dot_f32(acts[-1].astype(jnp.float32), dy, ((0,), (0,)))
+    g = _dot_f32(dy, hw, ((1,), (1,)))  # (B, H)
     g_skip = None
     d_emb = None
     for i in range(DEPTH - 1, -1, -1):
@@ -615,7 +620,7 @@ def _fused_field_heads_fwd(interpret, block, xsrc, S, kind, trow, ws, bs, hw, hb
     n = xsrc.shape[0]
     ws_bf16 = tuple(w.astype(ACT_DTYPE) for w in ws)
     bs2d = tuple(b.reshape(1, H).astype(jnp.float32) for b in bs)
-    hw_c = hw.astype(ACT_DTYPE)
+    hw_c = hw.astype(jnp.float32)  # heads stay f32 (ADVICE r3): SE3 screw axis
     hb2d = hb.reshape(1, HEAD_LANES).astype(jnp.float32)
     fblock = _fwd_block_for(block)
     in_specs = [pl.BlockSpec((fblock, XSRC), lambda s: (s, 0))]

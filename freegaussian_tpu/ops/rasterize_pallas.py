@@ -623,7 +623,15 @@ def _bwd_half_body(
     r_total = rtotal_ref[0, rows]  # (n_rows, 1)
 
     one_minus = 1.0 - a_eff
-    excl_T, incl_T, live, log_om = _transmittance(one_minus, T, alive)
+    # Liveness must replay the FORWARD's live set exactly, so this scan runs
+    # at SCAN_PRECISION_FWD (the forward's precision): with the non-default
+    # BWD_WALK="fwd" combo a HIGHEST recompute here could flip
+    # threshold-edge slots into a different live set than the forward saw
+    # (ADVICE r3). The cancellation-sensitive wb suffix below stays at
+    # SCAN_PRECISION (HIGHEST) — only liveness needs forward parity.
+    excl_T, incl_T, live, log_om = _transmittance(
+        one_minus, T, alive, SCAN_PRECISION_FWD
+    )
     comp = jnp.where(vis, live, 0.0)
     w = a_eff * excl_T * comp
 

@@ -275,7 +275,12 @@ def build_intersections(
     )
 
     if SINGLE_KEY_SORT and num_tiles < (1 << 11):
-        # positive-f32 bit patterns sort like the floats; keep 20 bits
+        # positive-f32 bit patterns sort like the floats; keep 20 bits.
+        # Depth positivity invariant: projection zeroes radii for
+        # z <= near_plane (projection.py:80), so no valid slot reaches here
+        # with depth <= 0 (invalid slots carry +inf). The max(., 0) is pure
+        # bit-safety — a negative float would bitcast to a huge int and
+        # break key monotonicity — not a semantic clamp (ADVICE r3).
         dbits = jax.lax.bitcast_convert_type(
             jnp.maximum(depth_key.astype(jnp.float32), 0.0), jnp.int32
         )
