@@ -20,3 +20,10 @@ import jax  # noqa: E402
 # JAX_PLATFORMS=axon before conftest runs; override at config level.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compile cache: XLA compiles dominate the suite's wall time, and
+# they are identical between runs — the warm-cache core gate
+# (`pytest -m "not slow"`) is the <5 min dev loop documented in README.md.
+from freegaussian_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()

@@ -42,6 +42,7 @@ dataparser:
     return p
 
 
+@pytest.mark.slow
 def test_cli_two_stage_pipeline(tmp_path, cfg_yaml, capsys):
     from freegaussian_tpu.cli import main
 
@@ -107,6 +108,7 @@ def test_cli_interflow(tmp_path, capsys):
     assert "wrote 6 interflow maps" in out
 
 
+@pytest.mark.slow
 def test_controller_inference_path(tmp_path, cfg_yaml):
     """render_with_control drives the object with injected slider values."""
     from freegaussian_tpu.engine.config import trainer_config_from_yaml
@@ -140,6 +142,7 @@ def test_controller_inference_path(tmp_path, cfg_yaml):
     assert np.isfinite(np.asarray(out["rgb"])).all()
 
 
+@pytest.mark.slow
 def test_cli_train_with_flow_supervision(tmp_path, capsys, monkeypatch):
     """VERDICT round-1 gap #1: a plain `cli train --config configs/sim/base.yaml`
     must exercise the flow-derivative losses end-to-end — camera0 is pulled
@@ -188,6 +191,7 @@ pipeline:
     assert train_rows, "flow losses never reached metrics.jsonl"
 
 
+@pytest.mark.slow
 def test_flow_losses_change_training(tmp_path):
     """The flow losses must actually steer the deform field: identical runs
     with and without flow weights diverge in the deform parameters."""
@@ -241,6 +245,7 @@ dataparser:
     assert max(jax.tree.leaves(diffs)) > 0, "flow losses had no training effect"
 
 
+@pytest.mark.slow
 def test_cli_render_orbit_and_eval_dumps(tmp_path, cfg_yaml, capsys, monkeypatch):
     from freegaussian_tpu.cli import main
 

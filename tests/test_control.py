@@ -1,6 +1,7 @@
 """Stage-2 control model tests: control-state computation, blending, and a
 control-training smoke run."""
 
+import pytest
 import importlib.util
 
 import jax
@@ -64,6 +65,7 @@ def test_controller_api():
     np.testing.assert_allclose(vals[0], 0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_control_forward_and_training():
     cfg = SplatConfig(warm_up=0, backend="reference", background_color="black")
     cams = t.make_cameras(n=2, width=32, height=32)
@@ -119,6 +121,7 @@ def test_control_forward_and_training():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_control_trainer_eval_uses_control_model(tmp_path):
     """Stage-2 eval_all must route through control_forward (the inherited
     stage-1 eval would silently ignore the control field)."""
@@ -163,6 +166,7 @@ def test_control_trainer_eval_uses_control_model(tmp_path):
     assert np.isfinite(ev["psnr"]) and ev["num_rays_per_sec"] > 0
 
 
+@pytest.mark.slow
 def test_control_trainer_shares_stage1_cadences(tmp_path):
     """VERDICT r2 #7: stage-2 training must run the SAME operational loop as
     stage-1 — eval_all rows at steps_per_eval_all_images, steps_per_sec in the

@@ -8,6 +8,7 @@ through `parallel.distributed.ensure_distributed` and a psum crosses the
 process boundary (DCN path in production, TCP here).
 """
 
+import pytest
 import socket
 import subprocess
 import sys
@@ -176,6 +177,7 @@ print(f"proc{pid} full-step ok loss={loss:.6f}", flush=True)
 """
 
 
+@pytest.mark.slow
 def test_two_process_full_train_step(tmp_path):
     """The REAL sharded train step (make_parallel_train_step) over a global
     (data=2) mesh spanning TWO OS processes: gradient psum crosses the

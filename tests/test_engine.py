@@ -135,12 +135,14 @@ def test_graft_entry_single_chip():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_camera_opt_training():
     """With camera optimization enabled, pose tangents receive updates."""
     import importlib.util
@@ -437,6 +439,7 @@ def test_deform_head_init_scale(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_scan_chunk_matches_per_step_loop(tmp_path):
     """scan_chunk runs the SAME training as the per-step loop.
 

@@ -107,6 +107,7 @@ def test_fused_trunk_gradients_match_reference():
     assert g_f[1].shape == (1, e2)
 
 
+@pytest.mark.slow
 def test_deform_apply_fused_matches_flax():
     field = DeformField(compute_dtype=jnp.bfloat16)
     v = field.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)), jnp.zeros((1, 1)))
@@ -136,6 +137,7 @@ def test_deform_apply_fused_matches_flax():
     assert nonzero >= len(gleaves) - 2
 
 
+@pytest.mark.slow
 def test_fused_field_embedding_gradients_match_flax():
     """The in-kernel positional embedding's backward (sin/cos chain rule via
     the selection-matrix transpose) must match autodiff through the flax

@@ -66,6 +66,7 @@ def test_parallel_step_runs_dp_tile():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_parallel_dp_only_matches_loss_scale():
     """data=2 tile=1: the psum'ed loss equals the mean of per-camera losses
     computed separately."""
@@ -167,6 +168,7 @@ def test_parallel_tile4_matches_single_chip_loss_and_update():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+@pytest.mark.slow
 def test_parallel_flow_path_matches_single_chip():
     """The flow-derivative losses run sharded (2D sum/sum over bands, 3D lift
     on tile-replicated flow/depth) and match the single-chip step."""

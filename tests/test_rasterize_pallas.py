@@ -40,6 +40,7 @@ def test_forward_matches_oracle():
     np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_forward_matches_oracle_dense_overlap():
     """Heavy overlap exercises early termination and multi-chunk tiles."""
     args = make_scene(n=300, width=32, height=32, seed=3, opac_scale=0.999)
@@ -49,6 +50,7 @@ def test_forward_matches_oracle_dense_overlap():
     np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_forward_multi_chunk_boundary():
     """Chunk smaller than per-tile counts: loop + range masking correctness."""
     args = make_scene(n=120, width=16, height=16, seed=5)
@@ -57,6 +59,7 @@ def test_forward_multi_chunk_boundary():
     np.testing.assert_allclose(np.asarray(r_pal), np.asarray(r_ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_backward_matches_oracle_autodiff():
     args = make_scene(n=60, width=32, height=32, seed=1)
     means2d, conics, colors, opacities, depths, radii = args
@@ -87,6 +90,7 @@ def test_backward_matches_oracle_autodiff():
         )
 
 
+@pytest.mark.slow
 def test_backward_dense_termination():
     args = make_scene(n=200, width=16, height=16, seed=7, opac_scale=0.999)
     means2d, conics, colors, opacities, depths, radii = args
@@ -167,6 +171,7 @@ def test_absgrad_matches_per_tile_oracle():
     assert np.all(np.asarray(g_sink) >= np.abs(np.asarray(g_m)) - 1e-5)
 
 
+@pytest.mark.slow
 def test_bwd_early_out_shared_chunk_writer_handoff():
     """BWD_EARLY_OUT: tile A owns the first slots of a boundary chunk but has
     terminated before reaching it (its segment over that chunk is dead in the
@@ -225,6 +230,7 @@ def test_bwd_early_out_shared_chunk_writer_handoff():
         )
 
 
+@pytest.mark.slow
 def test_fwd_early_out_asymmetric_halves():
     """FWD_EARLY_OUT at half-tile granularity: the top 8 pixel rows are
     buried under an opaque stack (terminate after a few slots) while the
@@ -320,6 +326,7 @@ def test_unvisited_chunk_mask_discards_nonfinite_garbage():
         np.testing.assert_array_equal(o[:, 3 * chunk : 4 * chunk], 0.0)
 
 
+@pytest.mark.slow
 def test_ellipse_tile_cull_is_bit_exact():
     """ELLIPSE_CULL drops bbox-corner tiles the threshold ellipse cannot
     touch. Culled pairs contribute exactly zero (the kernels skip alpha <
@@ -377,6 +384,7 @@ def test_ellipse_tile_cull_is_bit_exact():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-4, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_ellipse_tile_cull_needle_conics():
     """High-aspect (needle) conics maximize f32 cancellation in the edge-min
     evaluation (q0 ~ qmax * aspect^2 at bbox corners with a tiny true
@@ -431,6 +439,7 @@ def test_ellipse_tile_cull_needle_conics():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-3, rtol=5e-2)
 
 
+@pytest.mark.slow
 def test_precull_matches_postcull_exactly():
     """Pre-expansion culling (dense bbox-grid test + kept-tile table) must
     produce the IDENTICAL sorted intersection arrays and reduction
@@ -465,6 +474,7 @@ def test_precull_matches_postcull_exactly():
         )
 
 
+@pytest.mark.slow
 def test_precull_overflow_stays_well_formed():
     """When kept pairs exceed the static capacity, the precull expansion must
     clamp like the rect path: padding ids beyond the clamp, monotone
@@ -579,6 +589,7 @@ def test_single_key_sort_matches_two_key():
     np.testing.assert_array_equal(np.asarray(a1k), np.asarray(a2k))
 
 
+@pytest.mark.slow
 def test_packed_row_major_exact_match():
     """PACKED_ROW_MAJOR stores the per-intersection data (cap, D) row-major
     and flips it to the kernels' (D, K) compute order INSIDE the kernel —
@@ -617,6 +628,7 @@ def test_packed_row_major_exact_match():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
 
 
+@pytest.mark.slow
 def test_kernel_tile_size_keeps_contract_bbox():
     """The kernel tile size is a pure performance knob: gsplat's CONTRACT
     quantizes each Gaussian's radius bbox to 16-px tiles (oracle

@@ -1,0 +1,251 @@
+"""Independent torch re-derivation of gsplat's `rasterize_to_pixels` fwd+bwd.
+
+Breaks the self-referential oracle loop (VERDICT r3 weak #3): the Pallas
+pixel stage was previously validated only against the repo's own jnp oracle
+(`ops/rasterize_ref.py`), written by the same author from the same reading of
+gsplat. This module re-derives the gsplat CUDA kernel semantics — the
+contract the reference consumes at freegaussian_model.py:847-868 — in pure
+torch, the way gsplat itself ships a `_torch_impl` oracle for its CUDA
+kernels (imported by the reference at freegaussian_model.py:15):
+
+  - SEQUENTIAL front-to-back compositing loop over depth-sorted Gaussians
+    (structurally the CUDA kernel's per-pixel loop, NOT the jnp oracle's
+    cumprod-scan formulation),
+  - torch autograd supplying the gradients (an independent AD system, vs the
+    jnp oracle's jax autodiff and the Pallas path's hand-derived backward),
+  - per-tile |grad| accumulation reproducing gsplat's absgrad (AbsGS): the
+    CUDA backward block-reduces per (gaussian, tile) before the atomic abs
+    accumulation, so absgrad = sum over tiles of |sum over tile pixels|.
+
+Compositing semantics re-derived from the gsplat kernel contract:
+  alpha = min(0.999, opacity * exp(-sigma)),
+  sigma = 0.5*(A dx^2 + C dy^2) + B dx dy  with conic (A, B, C),
+  dx = gaussian_center - (pixel + 0.5); skip if sigma < 0 or alpha < 1/255;
+  a pixel terminates when next_T = T*(1-alpha) <= 1e-4 and the terminating
+  Gaussian is itself NOT composited; a Gaussian contributes only to pixels
+  of tiles its radius bbox overlaps (isect_tiles binning).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from freegaussian_tpu.ops.rasterize_pallas import rasterize_pixels_pallas
+from freegaussian_tpu.ops.rasterize_ref import rasterize_pixels_reference
+
+ALPHA_THRESHOLD = 1.0 / 255.0
+TRANSMITTANCE_EPS = 1e-4
+MAX_ALPHA = 0.999
+
+
+def torch_rasterize(
+    means2d: torch.Tensor,  # (N, 2)
+    conics: torch.Tensor,  # (N, 3)
+    colors: torch.Tensor,  # (N, C)
+    opacities: torch.Tensor,  # (N,)
+    depths: np.ndarray,  # (N,) sort key, not differentiated
+    radii: np.ndarray,  # (N,) int, 0 == culled
+    width: int,
+    height: int,
+    tile_size: int = 16,
+):
+    """Sequential front-to-back compositor in torch (double precision).
+
+    Returns (render (H, W, C), alpha (H, W)). Differentiable wrt
+    means2d/conics/colors/opacities through the live-branch selects, exactly
+    as the CUDA kernel's backward treats the saved compositing structure.
+    """
+    dtype = means2d.dtype
+    n = means2d.shape[0]
+    c = colors.shape[-1]
+    tiles_w = -(-width // tile_size)
+    tiles_h = -(-height // tile_size)
+
+    ys, xs = torch.meshgrid(
+        torch.arange(height, dtype=dtype), torch.arange(width, dtype=dtype),
+        indexing="ij",
+    )
+    px = xs + 0.5
+    py = ys + 0.5
+    ptx = (xs / tile_size).floor()  # pixel's tile coordinates
+    pty = (ys / tile_size).floor()
+
+    order = np.argsort(np.where(radii > 0, depths, np.inf), kind="stable")
+
+    T = torch.ones((height, width), dtype=dtype)
+    done = torch.zeros((height, width), dtype=torch.bool)
+    render = torch.zeros((height, width, c), dtype=dtype)
+    alpha_out = torch.zeros((height, width), dtype=dtype)
+
+    for g in order:
+        r = float(radii[g])
+        if r <= 0:
+            continue
+        # isect_tiles binning: tiles overlapped by the radius bbox
+        gx, gy = means2d[g, 0], means2d[g, 1]
+        tminx = np.floor((float(gx.detach()) - r) / tile_size)
+        tmaxx = np.ceil((float(gx.detach()) + r) / tile_size)
+        tminy = np.floor((float(gy.detach()) - r) / tile_size)
+        tmaxy = np.ceil((float(gy.detach()) + r) / tile_size)
+        in_tile = (ptx >= tminx) & (ptx < tmaxx) & (pty >= tminy) & (pty < tmaxy)
+
+        dx = gx - px
+        dy = gy - py
+        A, B, Cc = conics[g, 0], conics[g, 1], conics[g, 2]
+        sigma = 0.5 * (A * dx * dx + Cc * dy * dy) + B * dx * dy
+        alpha = torch.clamp(opacities[g] * torch.exp(-sigma), max=MAX_ALPHA)
+
+        contrib = in_tile & (sigma >= 0) & (alpha >= ALPHA_THRESHOLD) & ~done
+        next_T = T * (1.0 - alpha)
+        terminates = contrib & (next_T <= TRANSMITTANCE_EPS)
+        done = done | terminates
+        live = contrib & ~terminates
+
+        w = torch.where(live, alpha * T, torch.zeros((), dtype=dtype))
+        render = render + w[..., None] * colors[g]
+        alpha_out = alpha_out + w
+        T = torch.where(live, next_T, T)
+
+    return render, alpha_out
+
+
+def make_clustered_scene(n=90, width=48, height=32, seed=0, n_clusters=3):
+    """Gaussians clustered around a few centers: deep overlap inside the
+    clusters exercises termination and the binning cut, matching the
+    VERDICT's 'clustered scenes' ask."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform([8, 8], [width - 8, height - 8], size=(n_clusters, 2))
+    which = rng.integers(0, n_clusters, size=n)
+    means2d = centers[which] + rng.normal(scale=4.0, size=(n, 2))
+    a = rng.uniform(0.08, 0.7, size=n)
+    cc = rng.uniform(0.08, 0.7, size=n)
+    b = rng.uniform(-0.6, 0.6, size=n) * np.sqrt(a * cc)
+    conics = np.stack([a, b, cc], axis=-1)
+    colors = rng.uniform(size=(n, 3))
+    # opaque surface + near-cull tail (trained-scene mixture)
+    opacities = np.where(
+        rng.uniform(size=n) < 0.6,
+        rng.uniform(0.5, 0.99, size=n),
+        rng.uniform(0.02, 0.3, size=n),
+    )
+    depths = rng.uniform(1.0, 6.0, size=n)
+    radii = np.full(n, 9, dtype=np.int32)
+    radii[::13] = 0  # some culled
+    return (
+        means2d.astype(np.float32),
+        conics.astype(np.float32),
+        colors.astype(np.float32),
+        opacities.astype(np.float32),
+        depths.astype(np.float32),
+        radii,
+    )
+
+
+def _to_torch(args, requires_grad=False):
+    means2d, conics, colors, opacities, depths, radii = args
+    t = lambda x: torch.tensor(x, dtype=torch.float64, requires_grad=requires_grad)
+    return t(means2d), t(conics), t(colors), t(opacities), depths, radii
+
+
+def test_forward_matches_torch_oracle():
+    args = make_clustered_scene()
+    width, height = 48, 32
+    tm, tc, tcol, top, depths, radii = _to_torch(args)
+    with torch.no_grad():
+        r_t, a_t = torch_rasterize(tm, tc, tcol, top, depths, radii, width, height)
+
+    jargs = tuple(jnp.asarray(a) for a in args)
+    r_ref, a_ref, _ = rasterize_pixels_reference(*jargs, width, height)
+    r_pal, a_pal, _ = rasterize_pixels_pallas(*jargs, width, height, interpret=True)
+
+    # torch (f64, sequential) vs jnp oracle (f32, scan): same contract
+    np.testing.assert_allclose(
+        np.asarray(r_ref), r_t.numpy(), atol=3e-5,
+        err_msg="jnp oracle diverges from the independent torch re-derivation",
+    )
+    np.testing.assert_allclose(np.asarray(a_ref)[..., 0], a_t.numpy(), atol=3e-5)
+    # Pallas vs torch directly (the BASELINE 'image allclose vs gsplat' read)
+    np.testing.assert_allclose(np.asarray(r_pal), r_t.numpy(), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(a_pal)[..., 0], a_t.numpy(), atol=5e-5)
+
+
+def test_backward_matches_torch_autograd():
+    """Pallas analytic backward vs torch autograd on a clustered scene:
+    per-Gaussian grads for means2d, conics, colors, opacities."""
+    args = make_clustered_scene(n=70, width=32, height=32, seed=2)
+    width, height = 32, 32
+    target = np.random.default_rng(5).uniform(size=(height, width, 3)).astype(np.float32)
+
+    tm, tc, tcol, top, depths, radii = _to_torch(args, requires_grad=True)
+    t_target = torch.tensor(target, dtype=torch.float64)
+    r_t, a_t = torch_rasterize(tm, tc, tcol, top, depths, radii, width, height)
+    loss_t = ((r_t - t_target) ** 2).sum() + 0.3 * (a_t**2).sum()
+    loss_t.backward()
+
+    jargs = tuple(jnp.asarray(a) for a in args)
+    jt = jnp.asarray(target)
+
+    def loss_pal(m, c, col, op):
+        render, alpha, _ = rasterize_pixels_pallas(
+            m, c, col, op, jargs[4], jargs[5], width, height, interpret=True
+        )
+        return jnp.sum((render - jt) ** 2) + 0.3 * jnp.sum(alpha[..., 0] ** 2)
+
+    l_pal, grads = jax.value_and_grad(loss_pal, argnums=(0, 1, 2, 3))(*jargs[:4])
+
+    np.testing.assert_allclose(float(l_pal), float(loss_t.detach()), rtol=1e-5)
+    for g_jax, g_torch, name, tol in (
+        (grads[0], tm.grad, "means2d", 2e-4),
+        (grads[1], tc.grad, "conics", 2e-4),
+        (grads[2], tcol.grad, "colors", 1e-4),
+        (grads[3], top.grad, "opacities", 2e-4),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g_jax), g_torch.numpy(), rtol=2e-3, atol=tol,
+            err_msg=f"Pallas d{name} diverges from torch autograd",
+        )
+
+
+@pytest.mark.slow
+def test_absgrad_matches_torch_per_tile():
+    """absgrad (AbsGS densification statistic) vs the torch oracle: per-tile
+    restricted losses, abs of the per-tile means2d grad, summed over tiles —
+    the reduction granularity of gsplat's CUDA backward (block-level
+    reduction per (gaussian, tile), then atomic accumulation)."""
+    args = make_clustered_scene(n=40, width=32, height=32, seed=3)
+    width, height, ts = 32, 32, 16
+    n = args[0].shape[0]
+    target = np.random.default_rng(7).uniform(size=(height, width, 3)).astype(np.float32)
+    t_target = torch.tensor(target, dtype=torch.float64)
+
+    expected = np.zeros((n, 2))
+    for ty in range(-(-height // ts)):
+        for tx in range(-(-width // ts)):
+            tm, tc, tcol, top, depths, radii = _to_torch(args, requires_grad=True)
+            r_t, a_t = torch_rasterize(tm, tc, tcol, top, depths, radii, width, height)
+            mask = torch.zeros((height, width), dtype=torch.float64)
+            mask[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts] = 1.0
+            loss = ((r_t - t_target) ** 2 * mask[..., None]).sum() + 0.1 * (
+                a_t * mask
+            ).sum()
+            loss.backward()
+            expected += np.abs(tm.grad.numpy())
+
+    jargs = tuple(jnp.asarray(a) for a in args)
+    jt = jnp.asarray(target)
+    sink = jnp.zeros((n, 2), jnp.float32)
+
+    def loss_pal(m, s):
+        render, alpha, _ = rasterize_pixels_pallas(
+            m, jargs[1], jargs[2], jargs[3], jargs[4], jargs[5], width, height,
+            interpret=True, means2d_sink=s,
+        )
+        return jnp.sum((render - jt) ** 2) + 0.1 * jnp.sum(alpha[..., 0])
+
+    _, g_sink = jax.grad(loss_pal, argnums=(0, 1))(jargs[0], sink)
+    np.testing.assert_allclose(
+        np.asarray(g_sink), expected, rtol=2e-3, atol=2e-4,
+        err_msg="Pallas absgrad diverges from the torch per-tile oracle",
+    )

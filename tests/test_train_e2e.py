@@ -118,6 +118,7 @@ def _make_state(key, capacity, seed_pts, opt_cfg):
     return state, optimizers, deform
 
 
+@pytest.mark.slow
 def test_static_scene_training_improves_psnr(tiny_setup):
     cfg, cams, images = tiny_setup
     rng = np.random.default_rng(0)
@@ -177,6 +178,7 @@ def test_densification_changes_population(tiny_setup):
     assert max(counts) <= 128
 
 
+@pytest.mark.slow
 def test_deform_field_learns_motion():
     """Two frames with a translated Gaussian blob; the deform field must
     reduce photometric error at both times."""

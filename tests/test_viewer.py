@@ -1,5 +1,6 @@
 """Viewer tests: orbit camera geometry, JPEG render path, HTTP round trip."""
 
+import pytest
 import http.client
 import json
 import time
@@ -51,6 +52,7 @@ def test_http_roundtrip():
         server.shutdown()
 
 
+@pytest.mark.slow
 def test_viewer_with_real_model():
     """Drive the viewer render path through the actual control model."""
     import importlib.util
