@@ -81,8 +81,11 @@ def _build_lpips(weights: dict):
         ta, tb = features(a), features(b)
         total = 0.0
         for fa, fb, lin in zip(ta, tb, lins):
-            na = fa / jnp.sqrt(jnp.sum(fa**2, axis=1, keepdims=True) + 1e-10)
-            nb = fb / jnp.sqrt(jnp.sum(fb**2, axis=1, keepdims=True) + 1e-10)
+            # lpips normalize_tensor puts eps OUTSIDE the sqrt
+            # (norm_factor + 1e-10) — match it exactly so exported
+            # pretrained weights reproduce the package's numbers.
+            na = fa / (jnp.sqrt(jnp.sum(fa**2, axis=1, keepdims=True)) + 1e-10)
+            nb = fb / (jnp.sqrt(jnp.sum(fb**2, axis=1, keepdims=True)) + 1e-10)
             d = (na - nb) ** 2  # (1, C, h, w)
             # learned 1x1 conv (non-negative weights), then spatial average
             total = total + jnp.mean(
