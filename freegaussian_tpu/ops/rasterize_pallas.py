@@ -225,6 +225,20 @@ EARLY_OUT = False
 # scenes are the real payoff.
 BWD_EARLY_OUT = True
 
+# With BWD_EARLY_OUT, chunks none of whose segments survive the early-out
+# used to be zeroed OUTSIDE the kernel (_mask_unvisited_chunks): the kernel
+# never wrote their output windows, so on hardware they held HBM garbage.
+# That mask was a full (D, n_chunks, K) select + layout copy — ~0.65 ms at
+# the bench point (fusion.978 + copy.143, docs/NOTES_ROUND4.md). With
+# EO_ZERO_WRITE the kernel instead keeps every ORIGINALLY-live segment on
+# its own chunk (no cummax repeat) and the first toucher of a chunk whose
+# compute is early-outed WRITES ZEROS explicitly — the true gradient of
+# every post-termination slot. Sorted-array tail chunks (beyond the last
+# tile's range) still hold garbage, but their slots carry the padding
+# Gaussian id, which the _gather_rows select drops — same invariant as the
+# BWD_EARLY_OUT=False path.
+EO_ZERO_WRITE = True
+
 # Forward segment early-out via an SMEM scalar: the all-pixels-terminated
 # predicate is REDUCED AT THE END of the previous segment's body and stored
 # to SMEM scratch; the next segment branches on the stored scalar — the same
@@ -552,7 +566,10 @@ def _bwd_kernel(
     accumulate — they are consecutive, so the block stays VMEM-resident),
     bits 3/4 = top/bottom half of the tile still has un-terminated pixels
     for this segment (table-driven early-out from the forward's per-pixel
-    live counts; without BWD_EARLY_OUT both mirror bit1). A dead half's
+    live counts; without BWD_EARLY_OUT both mirror bit1), bit5 = the
+    segment was live BEFORE the early-out (EO_ZERO_WRITE: an
+    originally-live first toucher whose compute is early-outed writes
+    ZEROS — the exact gradient of post-termination slots). A dead half's
     dbuf slice is zero-filled so the combined write stays exact."""
     P = cfg.tile_size * cfg.tile_size
     s = pl.program_id(0)
@@ -601,6 +618,27 @@ def _bwd_kernel(
         @pl.when((flags >> 2) & 1 == 0)
         def _():
             dout_ref[...] += d_chunk
+
+    _eo_zero_write(flags, live_bit, dout_ref)
+
+
+def _eo_zero_write(flags, live_bit, dout_ref):
+    """EO_ZERO_WRITE epilogue (shared by both walks): an originally-live
+    (bit5) first-toucher (bit2) whose compute was early-outed (not bit1)
+    writes zeros — the exact gradient of every post-termination slot — so
+    no chunk a tile covers is ever left unwritten (see EO_ZERO_WRITE)."""
+    if not (BWD_EARLY_OUT and EO_ZERO_WRITE):
+        return
+
+    zero_write = (
+        jnp.logical_not(live_bit)
+        & ((flags >> 5) & 1 == 1)
+        & ((flags >> 2) & 1 == 1)
+    )
+
+    @pl.when(zero_write)
+    def _():
+        dout_ref[...] = jnp.zeros(dout_ref.shape, dout_ref.dtype)
 
 
 def _bwd_half_body(
@@ -801,6 +839,8 @@ def _bwd_kernel_rev(
         def _():
             dout_ref[...] += d_chunk
 
+    _eo_zero_write(flags, live_bit, dout_ref)
+
 
 def _bwd_half_body_rev(
     cfg, tile_ref, chunk_ref, lo_ref, hi_ref, tstart_ref,
@@ -876,7 +916,17 @@ def _run_fwd(cfg: _Cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, 
     P = cfg.tile_size * cfg.tile_size
     num_tiles = cfg.tiles_w * cfg.tiles_h
     rev = BWD_WALK == "rev"
-    tile_block = pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh, *r: (st[s], 0, 0))
+    # Outputs are EXACTLY (num_tiles, ...): no dustbin row. Dead segments
+    # (seg_tile == num_tiles) clamp onto the LAST tile's window — in sorted
+    # order they all come after that tile's real segments, so the window
+    # never changes and Mosaic's end-of-grid flush rewrites the tile's own
+    # (already correct) VMEM. This removes the (T+1)->(T) output slices and
+    # the ~0.9 ms of pad fusions their cotangents cost in the backward
+    # (pad.1158/.1159, docs/NOTES_ROUND3.md slice-inside-vjp post-mortem).
+    tmax = num_tiles - 1
+    tile_block = pl.BlockSpec(
+        (1, P, 1), lambda s, st, sf, sc, sl, sh, *r: (jnp.minimum(st[s], tmax), 0, 0)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(num_seg_cap,),
@@ -884,19 +934,22 @@ def _run_fwd(cfg: _Cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, 
             _data_spec(cfg, packed),
         ],
         out_specs=[
-            pl.BlockSpec((1, cfg.channels, P), lambda s, st, sf, sc, sl, sh, *r: (st[s], 0, 0)),
+            pl.BlockSpec(
+                (1, cfg.channels, P),
+                lambda s, st, sf, sc, sl, sh, *r: (jnp.minimum(st[s], tmax), 0, 0),
+            ),
             tile_block,
             tile_block,
         ] + ([tile_block] if rev else []),
         scratch_shapes=[pltpu.VMEM((P, 2), jnp.float32)]
         + ([pltpu.SMEM((2,), jnp.int32)] if FWD_EARLY_OUT else []),
     )
-    tile_shape = jax.ShapeDtypeStruct((num_tiles + 1, P, 1), jnp.float32)
+    tile_shape = jax.ShapeDtypeStruct((num_tiles, P, 1), jnp.float32)
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, cfg),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles + 1, cfg.channels, P), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, cfg.channels, P), jnp.float32),
             tile_shape,
             tile_shape,
         ] + ([tile_shape] if rev else []),
@@ -917,14 +970,24 @@ def _run_bwd(
     P = cfg.tile_size * cfg.tile_size
     D = packed.shape[1] if PACKED_ROW_MAJOR else packed.shape[0]
     K = cfg.chunk
+    tmax = cfg.tiles_w * cfg.tiles_h - 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(num_seg_cap,),
         in_specs=[
             _data_spec(cfg, packed),
-            pl.BlockSpec((1, cfg.channels, P), lambda s, st, sf, sc, sl, sh, *r: (st[s], 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh, *r: (st[s], 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda s, st, sf, sc, sl, sh, *r: (st[s], 0, 0)),
+            pl.BlockSpec(
+                (1, cfg.channels, P),
+                lambda s, st, sf, sc, sl, sh, *r: (jnp.minimum(st[s], tmax), 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, P, 1),
+                lambda s, st, sf, sc, sl, sh, *r: (jnp.minimum(st[s], tmax), 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, P, 1),
+                lambda s, st, sf, sc, sl, sh, *r: (jnp.minimum(st[s], tmax), 0, 0),
+            ),
         ],
         out_specs=_data_spec(cfg, packed),
         scratch_shapes=[
@@ -954,8 +1017,9 @@ def _run_bwd_rev(
     P = cfg.tile_size * cfg.tile_size
     D = packed.shape[1] if PACKED_ROW_MAJOR else packed.shape[0]
     K = cfg.chunk
+    tmax = cfg.tiles_w * cfg.tiles_h - 1
     tile_block = pl.BlockSpec(
-        (1, P, 1), lambda s, st, sf, sc, sl, sh, ts_: (st[s], 0, 0)
+        (1, P, 1), lambda s, st, sf, sc, sl, sh, ts_: (jnp.minimum(st[s], tmax), 0, 0)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -964,7 +1028,7 @@ def _run_bwd_rev(
             _data_spec(cfg, packed),
             pl.BlockSpec(
                 (1, cfg.channels, P),
-                lambda s, st, sf, sc, sl, sh, ts_: (st[s], 0, 0),
+                lambda s, st, sf, sc, sl, sh, ts_: (jnp.minimum(st[s], tmax), 0, 0),
             ),
             tile_block,  # g_alpha
             tile_block,  # t_final
@@ -1017,13 +1081,26 @@ def _bwd_tables_early_out(cfg, seg_tile, seg_flags, seg_chunk, seg_lo, tile_star
     touched-by-a-live-segment mask (untouched chunk outputs are zeroed by
     the caller — their true gradients are identically zero)."""
     half = livecnt.shape[1] // 2
-    nl_top = jnp.max(livecnt[:, :half, 0], axis=1).astype(jnp.int32)  # (T + 1,)
+    nl_top = jnp.max(livecnt[:, :half, 0], axis=1).astype(jnp.int32)  # (T,)
     nl_bot = jnp.max(livecnt[:, half:, 0], axis=1).astype(jnp.int32)
     live0 = (seg_flags >> 1) & 1 == 1
     start = tile_starts[seg_tile]
     live_top = live0 & (seg_lo < start + nl_top[seg_tile])
     live_bot = live0 & (seg_lo < start + nl_bot[seg_tile])
     live = live_top | live_bot
+    if EO_ZERO_WRITE:
+        # Originally-live segments KEEP their own chunk and the binning's
+        # first-toucher bit; early-outed first touchers write zeros in the
+        # kernel (bit5 marks original liveness), so every covered chunk is
+        # written and no outside mask pass is needed.
+        flags_bwd = (
+            (seg_flags & (1 + 4))
+            + 2 * live.astype(jnp.int32)
+            + 8 * live_top.astype(jnp.int32)
+            + 16 * live_bot.astype(jnp.int32)
+            + 32 * (live0.astype(jnp.int32))
+        )
+        return flags_bwd, seg_chunk, None
     # Newly-dead segments must not open an unwritten output window (Mosaic
     # flushes on window change without tracking writes): repeat the previous
     # live segment's chunk, as tiles.py does for originally-dead segments.
@@ -1090,7 +1167,14 @@ def _reverse_tables(seg_tile, flags_bwd, chunk_bwd, seg_lo, seg_hi, n_chunks):
     tile_r = seg_tile[::-1]
     flags_r = flags_bwd[::-1]
     chunk_r = chunk_bwd[::-1]
-    live_r = (flags_r >> 1) & 1 == 1
+    # Chunk ownership (who opens/writes output windows) follows ORIGINAL
+    # liveness under EO_ZERO_WRITE (bit5): early-outed owners write zeros
+    # instead of repeating a neighbor's chunk. Without it, bit1 (the
+    # post-early-out live set) is the owner set, as before.
+    if BWD_EARLY_OUT and EO_ZERO_WRITE:
+        live_r = (flags_r >> 5) & 1 == 1
+    else:
+        live_r = (flags_r >> 1) & 1 == 1
     first_r = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), tile_r[1:] != tile_r[:-1]]
     )
@@ -1103,7 +1187,7 @@ def _reverse_tables(seg_tile, flags_bwd, chunk_bwd, seg_lo, seg_hi, n_chunks):
         first_r.astype(jnp.int32)
         + (flags_r & 2)  # live bit
         + 4 * chunk_first.astype(jnp.int32)
-        + (flags_r & (8 + 16))  # half-live bits
+        + (flags_r & (8 + 16 + 32))  # half-live + original-live bits
     )
     return tile_r, flags_rev, chunk_safe, seg_lo[::-1], seg_hi[::-1]
 
@@ -1122,11 +1206,12 @@ def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
         flags_bwd, chunk_bwd, live = _bwd_tables_early_out(
             cfg, seg_tile, seg_flags, seg_chunk, seg_lo, tile_starts, livecnt
         )
-        visited = (
-            jnp.zeros((n_chunks,), jnp.float32)
-            .at[jnp.where(live, chunk_bwd, n_chunks)]
-            .max(1.0, mode="drop")
-        )
+        if not EO_ZERO_WRITE:
+            visited = (
+                jnp.zeros((n_chunks,), jnp.float32)
+                .at[jnp.where(live, chunk_bwd, n_chunks)]
+                .max(1.0, mode="drop")
+            )
     # d_all rows 6:8 carry the per-intersection |d means2d| (absgrad): the
     # outer `_gather_rows` VJP segment-sums ALL rows per Gaussian, and the
     # packed-layout concat routes rows 6:8 to `means2d_sink`'s cotangent —
@@ -1278,9 +1363,6 @@ def rasterize_pixels_pallas(
         isect.seg_hi,
         isect.tile_offsets,
     )
-    color_tiles = color_tiles[:num_tiles]
-    alpha_tiles = alpha_tiles[:num_tiles]
-
     # (T, C, P) -> (H, W, C)
     ts = tile_size
     render = (
