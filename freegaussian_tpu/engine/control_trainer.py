@@ -105,6 +105,33 @@ class ControlTrainer(Trainer):
             self.state.deform_vars,
         )
 
+    def _eval_scan_render(self):
+        """Batched-eval hook (Trainer._eval_sweep_fn): stage-2 sweeps must
+        render through the CONTROL model, like _render_rgb."""
+        cfg = self.config
+        control_apply = self.control_apply
+        deform_apply = self.deform_apply
+        gaussian_mask = self.gaussian_mask
+        init_time = self.init_time
+
+        def render(state, camera):
+            return control_forward(
+                cfg.splat,
+                state.params,
+                state.alive,
+                gaussian_mask,
+                camera,
+                control_apply,
+                state.control_vars,
+                deform_apply=deform_apply,
+                deform_vars=state.deform_vars,
+                init_time=init_time,
+                sh_degree_now=cfg.splat.sh_degree,
+                train=False,
+            )["rgb"]
+
+        return render
+
     def _control_eval_render(self):
         """Cached jitted stage-2 inference render (train-mode control state);
         see Trainer._eval_render for why eval must not dispatch eagerly."""

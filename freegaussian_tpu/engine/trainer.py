@@ -253,6 +253,80 @@ class Trainer:
             self.state.step >= self.config.splat.warm_up,
         )
 
+    # ------------------------------------------------------------------
+    def _eval_scan_render(self):
+        """render(state, camera) -> rgb for the batched eval sweep; the
+        ControlTrainer overrides this to route through the control model."""
+        cfg = self.config
+        deform_apply = self.deform_apply
+
+        def render(state, camera):
+            return forward(
+                cfg.splat,
+                state.params,
+                state.alive,
+                camera,
+                deform_variables=state.deform_vars,
+                deform_apply=deform_apply,
+                sh_degree_now=cfg.splat.sh_degree,
+                warmed_up=state.step >= cfg.splat.warm_up,
+                train=False,
+            )["rgb"]
+
+        return render
+
+    def _eval_sweep_fn(self, n_frames: int):
+        """ONE-dispatch eval sweep: renders every stacked eval frame inside a
+        jitted lax.scan and reduces PSNR/SSIM on device. The per-frame python
+        loop paid a tunnel round trip per render dispatch PLUS two more per
+        metric sync — on the tunneled chip that is ~0.3-1 s per frame of pure
+        host latency, and transient host load swung measured rays/s 150x
+        between sweeps at UNCHANGED device throughput (docs/QUALITY_R3.md;
+        VERDICT r3 item 5). Cache key: config identity + frame count."""
+        cfg = self.config
+        key = (id(cfg), n_frames)
+        if getattr(self, "_eval_sweep_key", None) != key:
+            render = self._eval_scan_render()
+
+            @jax.jit
+            def sweep(state, cam_b, gts):
+                def body(_, i):
+                    camera = jax.tree.map(lambda a: a[i], cam_b)
+                    rgb = render(state, camera)
+                    gt = gts[i]
+                    return _, (psnr(rgb, gt), ssim(rgb, gt))
+
+                _, (ps, ss) = jax.lax.scan(
+                    body, None, jnp.arange(n_frames, dtype=jnp.int32)
+                )
+                return ps, ss
+
+            self._eval_sweep_cache = sweep
+            self._eval_sweep_key = key
+        return self._eval_sweep_cache
+
+    def _eval_arena(self, dm, max_images):
+        """Stacked eval-split arena (camera SoA + gt stack), device-resident;
+        rebuilt only when the split or cap changes."""
+        key = (id(dm), max_images)
+        cached = getattr(self, "_eval_arena_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        from ..parallel.sharding import stack_cameras
+
+        cams, gts = [], []
+        for camera, batch in dm.eval_frames():
+            cams.append(camera)
+            gts.append(batch["image"][..., :3])
+            if max_images and len(cams) >= max_images:
+                break
+        if not cams or len({(c.height, c.width) for c in cams}) != 1:
+            entry = None  # empty or mixed-size split: per-frame fallback
+        else:
+            entry = (stack_cameras(cams), jnp.stack(gts), len(cams))
+        self._eval_arena_cache = (key, entry)
+        return entry
+
     def viewer_render_fn(self):
         """render_fn(camera, atrb_values|None) -> (H, W, 3) float rgb over the
         CURRENT state (live during training — the reference's `vis: viewer`
@@ -712,6 +786,29 @@ class Trainer:
         dm = self.eval_datamanager or self.datamanager
         psnrs, ssims, lpipss = [], [], []
         from ..models.metrics import lpips as lpips_fn
+        from ..models.metrics import lpips_available
+
+        # Fast path: LPIPS off and no image dump -> whole sweep as ONE
+        # device dispatch (see _eval_sweep_fn). LPIPS/dumps need the frames
+        # on host anyway, so those sweeps keep the per-frame loop.
+        if dump_dir is None and not lpips_available():
+            arena = self._eval_arena(dm, max_images)
+            if arena is not None:
+                cam_b, gts, n = arena
+                t0 = time.time()
+                ps, ss = self._eval_sweep_fn(n)(self.state, cam_b, gts)
+                ps = jax.block_until_ready(ps)
+                wall = time.time() - t0
+                n_pix = int(gts.shape[0] * gts.shape[1] * gts.shape[2])
+                return {
+                    "psnr": float(jnp.mean(ps)),
+                    "ssim": float(jnp.mean(ss)),
+                    "num_rays_per_sec": n_pix / wall,
+                    "fps": n / wall,
+                    "gaussian_count": int(jnp.sum(self.state.alive)),
+                    "lpips": float("nan"),
+                    "lpips_available": False,
+                }
         if dump_dir is not None:
             Path(dump_dir).mkdir(parents=True, exist_ok=True)
         t0 = time.time()

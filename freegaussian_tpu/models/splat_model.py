@@ -72,9 +72,19 @@ class SplatConfig:
     # Full-step A/B on v5e (tpu_checks stepab, one process): flax 12.18M px/s,
     # xla 10.88M, pallas 8.06M — in-step, XLA fuses the flax embedding into
     # the remat backward for free, so the standalone embed win never shows up.
-    # flax stays the default; xla/pallas remain for standalone/serving use
-    # (docs/NOTES_ROUND2.md).
-    deform_impl: str = "flax"
+    # xla/pallas remain for standalone/serving use (docs/NOTES_ROUND2.md).
+    #   "headsfused" — flax trunk math with the four head projections as ONE
+    #              (fan_in, 13) matmul: each head column is the same
+    #              K-reduction, so outputs match flax bitwise, but four
+    #              N=3|4 dots (2.5% MXU lane utilization) and their
+    #              backward transposes collapse into one pass. r4 on-chip
+    #              A/B: 15.71M vs 14.62M px/s (+7.5% step). DEFAULT.
+    deform_impl: str = "headsfused"
+    # jax.checkpoint policy for the remat'd deform chain: "" = save nothing
+    # (recompute everything); "dots" = dots_with_no_batch_dims_saveable
+    # (store matmul outputs, recompute only elementwise) — trades HBM
+    # activation traffic back for the trunk's recompute FLOPs. A/B knob.
+    deform_remat_policy: str = ""
     near_plane: float = 0.01
     far_plane: float = 1e10
     # 32 on TPU: intersections scale with tiles-per-Gaussian, and every
@@ -133,6 +143,13 @@ def make_deform_apply(cfg: SplatConfig, field: DeformField):
 
     on_tpu = _jax.devices()[0].platform == "tpu"
     impl = cfg.deform_impl if (on_tpu and cfg.deform_bf16) else "flax"
+    if impl == "headsfused":
+        from .fields import deform_apply_headsfused
+
+        def apply(variables, x, t):
+            return deform_apply_headsfused(field, variables, x, t)
+
+        return apply
     if impl in ("pallas", "xla", "fused"):
 
         def apply(variables, x, t):
@@ -267,7 +284,13 @@ def forward(
         and cfg.deform_remat
         and not getattr(deform_apply, "fused", False)
     ):
-        deform_apply = jax.checkpoint(deform_apply)
+        if cfg.deform_remat_policy == "dots":
+            deform_apply = jax.checkpoint(
+                deform_apply,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        else:
+            deform_apply = jax.checkpoint(deform_apply)
     if deform_apply is not None and deform_variables is not None:
         times = camera.time.reshape(1, 1)  # shared frame time: broadcast inside
         d_xyz, d_rot, d_scale = deform_apply(

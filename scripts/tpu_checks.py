@@ -1205,6 +1205,21 @@ def main():
         _tiles.PRECULL_T_MAX = 16  # halves the dense precull tests; more
         bench.main({}, label="cull_on_tmax16")  # big-bbox rect fallbacks
         _tiles.PRECULL_T_MAX = 32
+    if "r4ab1" in parts:
+        # round-4 batch 1: hardware parity with the _gather_rows select
+        # removal (garbage-tail invariant — CPU cannot see it), then deform
+        # heads-fused + remat-policy A/Bs in one process.
+        sys.path.insert(0, ".")
+        import bench
+
+        run_xinterp()
+        bench.main({}, label="r4_base")
+        bench.main({"deform_impl": "headsfused"}, label="r4_headsfused")
+        bench.main(
+            {"deform_impl": "headsfused", "deform_remat_policy": "dots"},
+            label="r4_headsfused_dots",
+        )
+        bench.main({"deform_remat_policy": "dots"}, label="r4_dots")
     if "benchprof" in parts:
         # per-op profile of the DEFAULT bench configuration (the honest
         # trained-like workload bench.py measures) — round-3 planning table

@@ -336,3 +336,49 @@ def test_deform_apply_fused_full_matches_flax():
             jnp.linalg.norm(gk - gk_r) / (jnp.linalg.norm(gk_r) + 1e-6)
         )
         assert nerr < 0.15, f"head {j} kernel grad norm rel err {nerr}"
+
+
+@pytest.mark.parametrize("ct", ["bf16", "f32"])
+def test_deform_apply_headsfused_matches_flax(ct):
+    """headsfused = flax trunk math + ONE (fan_in, 13) heads matmul. Each
+    output column of a dot is the same K-reduction with or without column
+    neighbors, so this must match the flax module essentially bitwise."""
+    from freegaussian_tpu.models.fields import deform_apply_headsfused
+
+    dt = jnp.bfloat16 if ct == "bf16" else jnp.float32
+    field = DeformField(compute_dtype=dt)
+    v = field.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)), jnp.zeros((1, 1)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (300, 3))
+    t = jnp.full((1, 1), 0.37)
+    d_ref, rot_ref, sc_ref = field.apply(v, x, t)
+    d_hf, rot_hf, sc_hf = deform_apply_headsfused(field, v, x, t)
+    for a, b in [
+        (d_hf.w, d_ref.w), (d_hf.v, d_ref.v), (d_hf.theta, d_ref.theta),
+        (rot_hf, rot_ref), (sc_hf, sc_ref),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+
+    # gradients flow and match the flax path
+    def loss(fn):
+        def f(v, x):
+            d, r, s = fn(v, x, t)
+            return (
+                jnp.sum(d.w * d.theta) + jnp.sum(d.v) + jnp.sum(r * r)
+                + jnp.sum(s)
+            )
+
+        return f
+
+    g_ref = jax.grad(loss(lambda v, x, t_: field.apply(v, x, t_)))(v, x)
+    g_hf = jax.grad(
+        loss(lambda v, x, t_: deform_apply_headsfused(field, v, x, t_))
+    )(v, x)
+    # bf16 trunk: dh = dy @ W_heads^T sums all 13 columns in one contraction
+    # where flax adds four partial products — ulp-order differences only
+    gtol = 2e-5 if ct == "f32" else 2e-4
+    for a, b in zip(jax.tree.leaves(g_hf), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=gtol, atol=gtol
+        )
