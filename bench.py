@@ -23,7 +23,7 @@ import numpy as np
 
 
 def main(cfg_overrides=None, label=None, calibrate=True, profile_dir=None,
-         resolution=None):
+         resolution=None, headroom=1.35):
     """cfg_overrides: optional dict of SplatConfig field overrides (used by
     scripts/tpu_checks.py stepab for on-chip A/B runs). `calibrate=False`
     pins an explicit `isect_capacity` override instead of shrinking it to
@@ -128,7 +128,7 @@ def main(cfg_overrides=None, label=None, calibrate=True, profile_dir=None,
         height=height,
     )
     # Self-calibrate the intersection capacity the way the Trainer does
-    # (grow at 85% / shrink to 1.5x measured KEPT pairs — with the ellipse
+    # (grow at 85% / shrink to 1.35x measured KEPT pairs — with the ellipse
     # precull, num_isects counts kept pairs, ~2.7x below the bbox totals the
     # old factor-3 sizing assumed). One extra small compile; every
     # capacity-sized cost (sort, gathers, cumsum, reduction) then matches a
@@ -144,7 +144,7 @@ def main(cfg_overrides=None, label=None, calibrate=True, profile_dir=None,
         return out["num_isects"]
 
     kept = int(_measure_isects(params, dvars))
-    cap_fit = max((int(1.5 * kept) + 127) // 128 * 128, 1 << 14)
+    cap_fit = max((int(headroom * kept) + 127) // 128 * 128, 1 << 14)
     if not calibrate and cfg.isect_capacity is not None:
         cap_fit = cfg.isect_capacity
     if cfg.isect_capacity is None or cfg.isect_capacity > cap_fit:

@@ -403,11 +403,13 @@ class Trainer:
             # SHRINK: with the precull (ops/tiles.py) `num_isects` counts
             # KEPT pairs, typically ~2.7x below the bbox totals the initial
             # alive-count sizing assumes — every capacity-sized cost (sort,
-            # gathers, cumsum, reduction) scales with the cap. Hysteresis:
-            # shrink lands at ~67% occupancy, regrow fires at 85%; at most
-            # 2 shrinks per run (each re-jit costs minutes on the tunneled
-            # chip).
-            new_cap = max(int(1.5 * num), 1 << 14)
+            # gathers, cumsum, reduction) scales with the cap. Headroom 1.35
+            # (r4 A/B: 1.5 -> 1.3 bought +9.4% step; 1.35 keeps an ~11%
+            # occupancy margin to the 0.85 regrow trigger against
+            # densification jumps). Hysteresis: shrink lands at ~74%
+            # occupancy, regrow fires at 85%; at most 2 shrinks per run
+            # (each re-jit costs minutes on the tunneled chip).
+            new_cap = max(int(1.35 * num), 1 << 14)
             self._isect_shrinks += 1
         if new_cap is not None:
             splat = dataclasses.replace(

@@ -352,6 +352,30 @@ def deform_apply_headsfused(field: DeformField, variables, x, t):
     return SE3Screw(w=w, v=v, theta=theta), rotation, scaling
 
 
+def control_apply_headsfused(field: ControlField, variables, x, value):
+    """`field.apply(variables, x, value)` with the three head projections as
+    ONE (fan_in, 10) matmul — the stage-2 twin of deform_apply_headsfused
+    (same column-independence argument: outputs match flax bitwise)."""
+    p = variables["params"]
+    value_full = jnp.broadcast_to(value, (x.shape[0], value.shape[-1]))
+    value_emb = positional_embed(value_full, field.multires)
+    x_emb = positional_embed(x, field.multires)
+    skip_at = field.depth // 2
+    h = [x_emb, value_emb]
+    for i in range(field.depth):
+        kp = p[f"TorchLinear_{i}"]
+        h = nn.relu(_split_linear(h, kp["kernel"], kp["bias"], jnp.float32))
+        if i == skip_at:
+            h = [x_emb, value_emb, h]
+    if not isinstance(h, (list, tuple)):
+        h = [h]
+    heads = [p[f"TorchLinear_{field.depth + j}"] for j in range(3)]
+    k_all = jnp.concatenate([hh["kernel"] for hh in heads], axis=1)  # (f, 10)
+    b_all = jnp.concatenate([hh["bias"] for hh in heads], axis=0)
+    y = _split_linear(h, k_all, b_all, jnp.float32)
+    return y[:, 0:3], y[:, 3:7], y[:, 7:10]
+
+
 def control_apply_fused(
     field: ControlField, variables, x, value, *, interpret=None, block=None,
     impl="pallas",

@@ -58,9 +58,12 @@ class SplatConfig:
     # that warm-up-boundary transient — the trigger of intersection-count
     # runaways on articulated scenes.
     deform_head_init_scale: float = 1.0
-    # rematerialize the deform trunk in backward: the (N, 256) activations are
-    # HBM-bound; recomputing beats storing (6.9 -> 5.8 ms at N=100k on v5e)
-    deform_remat: bool = True
+    # rematerialize the deform trunk in backward. With the r2-era f32 chain,
+    # recompute beat storing (6.9 vs 5.8 ms at N=100k); with bf16 activations
+    # + fused heads the balance flipped (r4 A/B: remat 15.73M px/s, stored
+    # 16.53M — the (N, 256) bf16 activations cost less HBM than the
+    # embedding+trunk recompute costs MXU/VPU). Default OFF since r4.
+    deform_remat: bool = False
     # Deform/control trunk implementation on TPU (off-TPU always "flax"):
     #   "flax"   — the split-linear flax chain (positional_embed in-graph)
     #   "xla"    — dense selection-matmul embedding + padded bf16 chain:
@@ -170,6 +173,13 @@ def make_control_apply(cfg: SplatConfig, field: ControlField):
 
     on_tpu = _jax.devices()[0].platform == "tpu"
     impl = cfg.deform_impl if on_tpu else "flax"
+    if impl == "headsfused":
+        from .fields import control_apply_headsfused
+
+        def apply(variables, x, value):
+            return control_apply_headsfused(field, variables, x, value)
+
+        return apply
     if impl in ("pallas", "xla"):
 
         def apply(variables, x, value):

@@ -210,6 +210,37 @@ def _scan_dot(x: jax.Array, m: jax.Array, prec=None) -> jax.Array:
         x, m, dims, preferred_element_type=jnp.float32, precision=prec
     )
 
+# MXU precision for the DATA-by-DATA color contractions (forward pixel
+# accumulation cols@w^T, backward dcols = g_color@w). HIGHEST = 6 bf16
+# passes. "split2" decomposes BOTH operands (x = xh + xl, y = yh + yl) and
+# keeps the three significant cross terms (xl@yl < 2^-32 relative) = 3
+# DEFAULT passes at ~2^-16 relative error — inside the parity suite's
+# forward-image tolerance. A/B knob for hardware.
+COLOR_PRECISION = "highest"
+
+
+def _data_dot(x: jax.Array, y: jax.Array, dims) -> jax.Array:
+    """dot_general(x, y) over `dims` at COLOR_PRECISION (see above)."""
+    dims_full = (dims, ((), ()))
+    if COLOR_PRECISION == "split2":
+        xh = x.astype(jnp.bfloat16).astype(jnp.float32)
+        yh = y.astype(jnp.bfloat16).astype(jnp.float32)
+        xl = x - xh
+        yl = y - yh
+
+        def d(a, b):
+            return jax.lax.dot_general(
+                a, b, dims_full, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+
+        return d(xh, yh) + d(xh, yl) + d(xl, yh)
+    return jax.lax.dot_general(
+        x, y, dims_full, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 # Segment-level early-out when every pixel of a tile has terminated. Saves
 # the whole kernel body on deep sorted runs (real scenes after densification),
 # and is numerically exact (CPU parity tests cover it) — but wrapping the
@@ -495,12 +526,9 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
         )
         w = a_eff * excl_T * live  # (n_rows, K)
 
-        # precision=HIGHEST: the MXU truncates f32 inputs to bf16 by default,
-        # which breaks gradient parity with the f32 oracle on real hardware.
-        color_ref[0, :, rows] += jax.lax.dot_general(
-            v["cols"], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # COLOR_PRECISION (default HIGHEST): plain-DEFAULT bf16 truncation
+        # breaks gradient parity with the f32 oracle on real hardware.
+        color_ref[0, :, rows] += _data_dot(v["cols"], w, ((1,), (1,)))
         alpha_ref[0, rows] += jnp.sum(w, axis=1, keepdims=True)
         livecnt_ref[0, rows] += jnp.sum(
             jnp.where(in_range, live, 0.0), axis=1, keepdims=True
@@ -755,10 +783,7 @@ def _grad_rows(cfg, tile_ref, data_ref, s, v, da, w, g_color, row_offset, n_rows
         ],
         axis=0,
     )  # (6, K)
-    dcols = jax.lax.dot_general(
-        g_color, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (C, K)
+    dcols = _data_dot(g_color, w, ((1,), (0,)))  # (C, K)
 
     # Row layout mirrors the packed input. The absgrad rows 6-7 are |sum_p
     # dmx| over the WHOLE tile — not half-decomposable (|a|+|b| != |a+b|) —

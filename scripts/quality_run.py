@@ -172,9 +172,12 @@ def make_scene(root: Path, n_frames=40, size=128, n_gauss=600, seed=0,
             jnp.asarray(part_col), cam.viewmat[None], cam.K[None], size, size,
             render_mode="RGB", backend="reference",
         )
-        m = np.zeros((size, size, max(n_parts, 2)), bool)
+        # (H, W, M+1): attribute channels [0, M) + BACKGROUND last (the
+        # load_*_annotations convention; cluster_gaussians drops it)
+        m = np.zeros((size, size, n_parts + 1), bool)
         for p in range(n_parts):
             m[..., p] = np.asarray(r3[0, ..., p % 3]) > 0.5
+        m[..., -1] = ~m[..., :-1].any(-1)
         np.save(root / f"mask/{i:04d}.npy", m)
 
         frames.append(
@@ -205,6 +208,11 @@ def main():
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--capacity", type=int, default=16384)
+    ap.add_argument(
+        "--parts", type=int, default=1,
+        help="independently articulated parts in the generated scene (>=2 "
+        "exercises the multi-attribute N x M mask end-to-end)",
+    )
     ap.add_argument("--report", default="docs/QUALITY_R2.md")
     ap.add_argument(
         "--stage2-steps", type=int, default=0,
@@ -244,7 +252,9 @@ def main():
     root = Path(args.out)
     if not (root / "transforms.json").exists():
         print("generating scene...", flush=True)
-        make_scene(root, n_frames=args.frames, size=args.size)
+        make_scene(
+            root, n_frames=args.frames, size=args.size, n_parts=args.parts
+        )
 
     import dataclasses as dc
 
@@ -437,8 +447,8 @@ def main():
         # against the GT per-part pixel regions of the sweep frame --------
         xtalk_lines = []
         if m_attr >= 2:
-            masks0 = _np.load(root / "mask" / "0000.npy")  # (S, S, P) bool
-            n_reg = min(m_attr, masks0.shape[-1])
+            masks0 = _np.load(root / "mask" / "0000.npy")  # (S, S, P+1) bool
+            n_reg = min(m_attr, masks0.shape[-1] - 1)  # last ch = background
             dmaps = []
             for j in range(m_attr):
                 vp = _np.zeros((m_attr, 3), _np.float32)
@@ -504,6 +514,7 @@ def main():
             f"moved > 0.05 — the control render visibly articulates "
             f"(PNGs: {sweep_dir})",
         ]
+        lines += xtalk_lines
 
     report = Path(args.report)
     report.write_text("\n".join(lines))

@@ -1220,6 +1220,22 @@ def main():
             label="r4_headsfused_dots",
         )
         bench.main({"deform_remat_policy": "dots"}, label="r4_dots")
+    if "r4ab2" in parts:
+        # round-4 batch 2: structural knobs at the 15.7M state — remat off,
+        # chunk/tile size, capacity headroom, split2 color dots (module-flag
+        # mutation LAST: mid-process lowering-cache hazard).
+        sys.path.insert(0, ".")
+        import bench
+        from freegaussian_tpu.ops import rasterize_pallas as rp
+
+        bench.main({}, label="r4b_base")
+        bench.main({"deform_remat": False}, label="r4b_noremat")
+        bench.main({"chunk": 256}, label="r4b_chunk256")
+        bench.main({"tile_size": 16}, label="r4b_tile16")
+        bench.main({}, headroom=1.3, label="r4b_headroom13")
+        rp.COLOR_PRECISION = "split2"
+        run_xinterp()
+        bench.main({}, label="r4b_split2color")
     if "benchprof" in parts:
         # per-op profile of the DEFAULT bench configuration (the honest
         # trained-like workload bench.py measures) — round-3 planning table

@@ -382,3 +382,25 @@ def test_deform_apply_headsfused_matches_flax(ct):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=gtol, atol=gtol
         )
+
+
+def test_control_apply_headsfused_matches_flax():
+    from freegaussian_tpu.models.fields import (
+        ControlField,
+        control_apply_headsfused,
+    )
+
+    field = ControlField()
+    v = field.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)), jnp.zeros((1, 3)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (200, 3))
+    val = jax.random.normal(jax.random.PRNGKey(2), (200, 3)) * 0.1
+    ref = field.apply(v, x, val)
+    hf = control_apply_headsfused(field, v, x, val)
+    for a, b in zip(hf, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+    # broadcast (1, 3) control value (the stage-2 slider path)
+    val1 = jnp.asarray([[0.05, -0.02, 0.01]])
+    ref1 = field.apply(v, x, jnp.broadcast_to(val1, (200, 3)))
+    hf1 = control_apply_headsfused(field, v, x, val1)
+    for a, b in zip(hf1, ref1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
