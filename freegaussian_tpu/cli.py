@@ -84,6 +84,15 @@ def main(argv=None):
     sp.add_argument("--interval", type=int, default=2)
     sp.add_argument("--form", choices=["velocity", "backproject"], default="velocity")
     sp.add_argument("--dataparser", choices=["synthetic", "real"], default="synthetic")
+    sp.add_argument(
+        "--flow-dir", default=None,
+        help="directory of precomputed optical-flow .npy maps (H, W, 2), "
+        "one per frame stem — the hand-off seam for an external flow net "
+        "(the reference runs mmflow RAFT there, preprocess/optical_flow.py"
+        ":1-31; any flow estimator works). Default 'opticalflow/'; missing "
+        "files fall back to zero flow (static-camera captures), matching "
+        "the reference's own fallback (epipolar_flow.py:369-372).",
+    )
 
     sp = sub.add_parser("train-control", help="stage-2 control training")
     common(sp)
@@ -187,7 +196,7 @@ def main(argv=None):
 
         n = generate_interflow_dataset(
             Path(args.data), interval=args.interval, form=args.form,
-            dataparser=args.dataparser,
+            dataparser=args.dataparser, flow_dir=args.flow_dir,
         )
         print(f"wrote {n} interflow maps")
     elif args.cmd == "export":

@@ -165,14 +165,19 @@ def positional_embed(x: jax.Array, num_freqs: int, include_input: bool = True) -
     ops on (N, 3)/(N, 1) arrays pad the trailing dim to 128 lanes and waste
     up to 128x VPU throughput.
     """
-    shape = x.shape
-    flat = x.reshape(-1)
-    outs = [x] if include_input else []
-    for i in range(num_freqs):
-        f = float(2.0**i)
-        outs.append(jnp.sin(flat * f).reshape(shape))
-        outs.append(jnp.cos(flat * f).reshape(shape))
-    return jnp.concatenate(outs, axis=-1)
+    d = x.shape[-1]
+    lead = x.shape[:-1]
+    freqs = jnp.asarray([2.0**i for i in range(num_freqs)], x.dtype)
+    # (..., L, d) phase grid -> ONE sin pass + ONE cos pass; interleaving
+    # via stack+reshape keeps the reference band order [x, s0, c0, s1, c1,
+    # ...] with 3 ops instead of a 2L+1-piece concatenate (the concat alone
+    # cost ~0.19 ms at N=100k on v5e, plus 2L small transcendental fusions).
+    ang = x[..., None, :] * freqs[:, None]
+    sc = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-2)  # (..., L, 2, d)
+    sc = sc.reshape(*lead, 2 * num_freqs * d)
+    if include_input:
+        return jnp.concatenate([x, sc], axis=-1)
+    return sc
 
 
 def embed_dim(input_dim: int, num_freqs: int, include_input: bool = True) -> int:

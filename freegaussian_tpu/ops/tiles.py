@@ -229,10 +229,18 @@ def build_intersections(
         )
     # (N, 5|11|12+T) — tile coords / offsets / table ids are < 2^24, f32-exact
     rows = per_g[gid]  # (capacity, ...)
-    local = slots - rows[:, 0].astype(jnp.int32)
-    gdx = rows[:, 3].astype(jnp.int32)
-    tile_x = rows[:, 1].astype(jnp.int32) + local % gdx
-    tile_y = rows[:, 2].astype(jnp.int32) + local // gdx
+    # Column extraction bridge: slicing 1-D columns out of the (cap, D)
+    # row-major gather output forces a (8,128)-tile -> T(1024) physical
+    # re-layout PER COLUMN (~0.17 ms each on v5e — fusion.949 in
+    # docs/NOTES_ROUND4.md). ONE (cap, D) -> (D, cap) transpose instead:
+    # row slices of the transposed array are contiguous 1-D. (Computing the
+    # expansion as (cap, 1) 2-D column math avoids the bridge entirely but
+    # runs at 1/128 VPU lane utilization — measured -2.1M px/s, reverted.)
+    rows_t = rows[:, :5].T  # (5, capacity)
+    local = slots - rows_t[0].astype(jnp.int32)
+    gdx = rows_t[3].astype(jnp.int32)
+    tile_x = rows_t[1].astype(jnp.int32) + local % gdx
+    tile_y = rows_t[2].astype(jnp.int32) + local // gdx
     tile_id = (tile_y * tiles_w + tile_x).astype(jnp.int32)
 
     if conics is not None:
@@ -271,7 +279,7 @@ def build_intersections(
     tile_id = jnp.where(slot_valid, tile_id, num_tiles)
     gid = jnp.where(slot_valid, gid, n)
     depth_key = jnp.where(
-        slot_valid & (tile_id < num_tiles), rows[:, 4], jnp.inf
+        slot_valid & (tile_id < num_tiles), rows_t[4], jnp.inf
     )
 
     if SINGLE_KEY_SORT and num_tiles < (1 << 11):
