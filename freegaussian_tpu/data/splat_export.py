@@ -15,10 +15,16 @@ from pathlib import Path
 import numpy as np
 
 
-def export_splat_ply(path: Path, params, alive) -> int:
+def export_splat_ply(path: Path, params, alive, gaussian_mask=None) -> int:
     """Write live Gaussians; returns the number written. Field semantics:
     raw (pre-activation) log-scales / logit-opacities / unnormalized quats,
-    matching the INRIA checkpoint convention."""
+    matching the INRIA checkpoint convention.
+
+    `gaussian_mask` (N, M) bool (the stage-2 clustering vote) appends one
+    extra `property float atrb` = 1 + first attribute index (0 = static
+    background). Extra trailing properties are ignored by name-driven
+    ecosystem viewers; docs/viewer/index.html builds per-attribute control
+    sliders from it (the web-demo face of the control story)."""
     alive_np = np.asarray(alive)
     means = np.asarray(params["means"])[alive_np]
     scales = np.asarray(params["scales"])[alive_np]
@@ -41,23 +47,26 @@ def export_splat_ply(path: Path, params, alive) -> int:
         + [f"scale_{i}" for i in range(3)]
         + [f"rot_{i}" for i in range(4)]
     )
+    cols = [
+        means,
+        np.zeros((n, 3), np.float32),
+        f_dc,
+        f_rest_flat,
+        opac.reshape(n, 1),
+        scales,
+        quats,
+    ]
+    if gaussian_mask is not None:
+        gm = np.asarray(gaussian_mask)[alive_np]  # (n, M) bool
+        atrb = np.where(gm.any(-1), gm.argmax(-1) + 1, 0).astype(np.float32)
+        props = props + ["atrb"]
+        cols.append(atrb.reshape(n, 1))
     header = (
         ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
         + [f"property float {p}" for p in props]
         + ["end_header"]
     )
-    data = np.concatenate(
-        [
-            means,
-            np.zeros((n, 3), np.float32),
-            f_dc,
-            f_rest_flat,
-            opac.reshape(n, 1),
-            scales,
-            quats,
-        ],
-        axis=-1,
-    ).astype("<f4")
+    data = np.concatenate(cols, axis=-1).astype("<f4")
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))
         f.write(data.tobytes())

@@ -72,3 +72,44 @@ def test_splat_ply_viewer_contract(tmp_path):
     np.testing.assert_allclose(
         data[:, :3], np.asarray(params["means"])[np.asarray(alive)], atol=1e-6
     )
+
+
+def test_splat_ply_group_column(tmp_path):
+    """gaussian_mask export: the trailing `atrb` property carries 1 + first
+    attribute index (0 = static) and round-trips by name — ecosystem viewers
+    that read properties by name ignore it; docs/viewer builds control
+    sliders from it."""
+    import numpy as np
+
+    from freegaussian_tpu.data.splat_export import export_splat_ply
+
+    rng = np.random.default_rng(0)
+    n = 50
+    params = {
+        "means": rng.normal(size=(n, 3)).astype(np.float32),
+        "scales": rng.normal(size=(n, 3)).astype(np.float32),
+        "quats": rng.normal(size=(n, 4)).astype(np.float32),
+        "features_dc": rng.normal(size=(n, 3)).astype(np.float32),
+        "features_rest": np.zeros((n, 45), np.float32),
+        "opacities": rng.normal(size=(n, 1)).astype(np.float32),
+    }
+    gm = np.zeros((n, 2), bool)
+    gm[5:10, 0] = True
+    gm[20:30, 1] = True
+    gm[7, 1] = True  # overlapping vote: FIRST attribute wins
+    alive = np.ones(n, bool)
+    alive[40:] = False
+    path = tmp_path / "g.ply"
+    m = export_splat_ply(path, params, alive, gaussian_mask=gm)
+    assert m == 40
+    raw = path.read_bytes()
+    header, body = raw.split(b"end_header\n", 1)
+    props = [
+        l.split()[-1].decode() for l in header.splitlines()
+        if l.startswith(b"property")
+    ]
+    assert props[-1] == "atrb"
+    arr = np.frombuffer(body, "<f4").reshape(m, len(props))
+    atrb = arr[:, props.index("atrb")]
+    want = np.where(gm[:40].any(-1), gm[:40].argmax(-1) + 1, 0)
+    np.testing.assert_array_equal(atrb, want.astype(np.float32))

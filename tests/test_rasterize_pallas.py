@@ -681,3 +681,41 @@ def test_kernel_tile_size_keeps_contract_bbox():
                 np.asarray(x), np.asarray(y), rtol=5e-2, atol=1e-3,
                 err_msg=f"tile_size={ts} {name}",
             )
+
+
+def test_gather_rows_bwd_immune_to_tail_garbage():
+    """The reduction's boundary reads must never touch rows past the kept
+    total: padding-gid rows sort to the END, and every boundary is <= the
+    kept total (the invariant that let the explicit zeroing select go in
+    round 4 — EO_ZERO_WRITE keeps every tile-covered chunk kernel-written,
+    and the tail holds hardware garbage including inf/NaN bit patterns)."""
+    from freegaussian_tpu.ops import rasterize_pallas as rp
+
+    n, d, cap = 5, 8, 16
+    counts = np.array([3, 0, 2, 4, 1], np.int32)  # kept total = 10
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    # expansion-order gids, tile-sorted by an arbitrary permutation
+    gids_exp = np.repeat(np.arange(n, dtype=np.int32), counts)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(10)
+    gids = np.full((cap,), n, np.int32)
+    gids[:10] = gids_exp[perm]
+
+    per_gauss = jnp.asarray(rng.normal(size=(n + 1, d)).astype(np.float32))
+    rows, vjp = jax.vjp(
+        lambda pg: rp._gather_rows(
+            pg, jnp.asarray(gids), jnp.asarray(offsets), jnp.asarray(counts)
+        ),
+        per_gauss,
+    )
+    d_rows = rng.normal(size=(cap, d)).astype(np.float32)
+    d_rows[10:] = np.nan  # tail garbage: never-written HBM
+    d_rows[12] = np.inf
+    (g,) = vjp(jnp.asarray(d_rows))
+    g = np.asarray(g)
+    assert np.isfinite(g).all(), "tail garbage leaked into group sums"
+    # exact group sums for the kept rows
+    want = np.zeros((n + 1, d), np.float32)
+    for slot in range(10):
+        want[gids[slot]] += d_rows[slot]
+    np.testing.assert_allclose(g[:n], want[:n], rtol=1e-5, atol=1e-5)
