@@ -156,9 +156,9 @@ def main():
     ap.add_argument("--flow", action="store_true", default=True)
     ap.add_argument("--no-flow", dest="flow", action="store_false")
     ap.add_argument(
-        "--compute-ms", type=float, default=26.5,
+        "--compute-ms", type=float, default=16.4,
         help="measured single-chip device step time at this operating point "
-        "(BENCH; the collective-free compute term of the projection)",
+        "(BENCH r4: 16.4 ms; the collective-free compute term of the projection)",
     )
     ap.add_argument(
         "--ici-gbps", type=float, default=90.0,
