@@ -276,6 +276,21 @@ BWD_EARLY_OUT = True
 # BWD_EARLY_OUT=False path.
 EO_ZERO_WRITE = True
 
+# Early-out granularity: the tile's P pixels split into EO_PARTS row bands,
+# each with its own termination cutoff (forward: an SMEM alive scalar per
+# band; backward: a per-band live flag bit from the forward's livecnt). The
+# cutoff is a MAX over the band's pixels, so finer bands skip more of the
+# sorted run when termination depth varies across the tile — one deep pixel
+# only pins its own band. EO_PARTS=2 is the r2-r3 "halves" layout
+# (bit-identical) and stays the DEFAULT: 4 measured 17.77M vs 18.75M px/s
+# on the r4 bench — quartering the (512, K) bodies into (256, K) quadruples
+# the per-segment branch/setup cost faster than the finer cutoffs skip
+# work. Flag bits:
+# 0 = first-of-tile, 1 = live (post-EO), 2 = chunk-first,
+# 3..3+EO_PARTS-1 = per-band live, 3+EO_PARTS = originally-live
+# (EO_ZERO_WRITE).
+EO_PARTS = 2
+
 # Forward segment early-out via an SMEM scalar: the all-pixels-terminated
 # predicate is REDUCED AT THE END of the previous segment's body and stored
 # to SMEM scratch; the next segment branches on the stored scalar — the same
@@ -505,8 +520,8 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
             tfin_ref[0] = jnp.ones_like(tfin_ref[0])
         state[...] = jnp.ones((P, 2), jnp.float32)
         if FWD_EARLY_OUT:
-            alive_smem[0] = 1
-            alive_smem[1] = 1
+            for h in range(EO_PARTS):
+                alive_smem[h] = 1
 
     live_bit = (flags >> 1) & 1 == 1
 
@@ -545,21 +560,21 @@ def _fwd_kernel(cfg: _Cfg, tile_ref, flags_ref, chunk_ref, lo_ref, hi_ref, data_
         if FWD_EARLY_OUT:
             alive_smem[h] = (jnp.max(alive_new) > 0.0).astype(jnp.int32)
 
-    # Segment-level early out, per HALF-tile (top/bottom 8 pixel rows): once
-    # every pixel of a half has terminated, its alpha/compositing body is
-    # skipped. The predicate is the SMEM scalar STORED at the end of the
-    # previous segment's body — the same cheap scalar-branch class as the
-    # prefetched flags (the legacy EARLY_OUT's in-predicate vector reduce is
-    # what blew the Mosaic compile). Half granularity halves the
-    # max-over-pixels pessimism of a single whole-tile cutoff.
+    # Segment-level early out, per EO_PARTS row band: once every pixel of a
+    # band has terminated, its alpha/compositing body is skipped. The
+    # predicate is the SMEM scalar STORED at the end of the previous
+    # segment's body — the same cheap scalar-branch class as the prefetched
+    # flags (the legacy EARLY_OUT's in-predicate vector reduce is what blew
+    # the Mosaic compile). Finer bands shrink the max-over-pixels pessimism
+    # of a single whole-tile cutoff.
     if FWD_EARLY_OUT:
-        half = P // 2
-        for h in (0, 1):
-            rows = slice(h * half, (h + 1) * half)
+        part = P // EO_PARTS
+        for h in range(EO_PARTS):
+            rows = slice(h * part, (h + 1) * part)
 
             @pl.when(live_bit & (alive_smem[h] == 1))
             def _(h=h, rows=rows):
-                half_body(h, rows, half)
+                half_body(h, rows, part)
 
     else:
         if EARLY_OUT:
@@ -598,12 +613,13 @@ def _bwd_kernel(
     flags bit0 = first-of-tile, bit1 = live, bit2 = first toucher of this
     chunk (writes the out block; later touchers of a shared boundary chunk
     accumulate — they are consecutive, so the block stays VMEM-resident),
-    bits 3/4 = top/bottom half of the tile still has un-terminated pixels
-    for this segment (table-driven early-out from the forward's per-pixel
-    live counts; without BWD_EARLY_OUT both mirror bit1), bit5 = the
-    segment was live BEFORE the early-out (EO_ZERO_WRITE: an
-    originally-live first toucher whose compute is early-outed writes
-    ZEROS — the exact gradient of post-termination slots). A dead half's
+    bits 3..3+EO_PARTS-1 = the tile's pixel row bands that still have
+    un-terminated pixels for this segment (table-driven early-out from the
+    forward's per-pixel live counts; without BWD_EARLY_OUT all mirror
+    bit1), bit 3+EO_PARTS = the segment was live BEFORE the early-out
+    (EO_ZERO_WRITE: an originally-live first toucher whose compute is
+    early-outed writes
+    ZEROS — the exact gradient of post-termination slots). A dead band's
     dbuf slice is zero-filled so the combined write stays exact."""
     P = cfg.tile_size * cfg.tile_size
     s = pl.program_id(0)
@@ -617,26 +633,26 @@ def _bwd_kernel(
         state[...] = init
 
     live_bit = (flags >> 1) & 1 == 1
-    half = P // 2
-    for h in (0, 1):
-        rows = slice(h * half, (h + 1) * half)
-        half_live = (flags >> (3 + h)) & 1 == 1
+    part = P // EO_PARTS
+    for h in range(EO_PARTS):
+        rows = slice(h * part, (h + 1) * part)
+        part_live = (flags >> (3 + h)) & 1 == 1
 
-        @pl.when(live_bit & half_live)
+        @pl.when(live_bit & part_live)
         def _(h=h, rows=rows):
             dbuf[h] = _bwd_half_body(
                 cfg, tile_ref, chunk_ref, lo_ref, hi_ref, data_ref,
                 gcolor_ref, galpha_ref, rtotal_ref, state, s, rows,
-                h * half, half,
+                h * part, part,
             )
 
-        @pl.when(live_bit & jnp.logical_not(half_live))
+        @pl.when(live_bit & jnp.logical_not(part_live))
         def _(h=h):
             dbuf[h] = jnp.zeros(dbuf.shape[1:], dbuf.dtype)
 
     @pl.when(live_bit)
     def _():
-        d_sum = dbuf[0] + dbuf[1]
+        d_sum = sum(dbuf[h] for h in range(EO_PARTS))
         # AbsGS rows 6-7 = |tile-level signed means2d row sums| (rows 0-1)
         d_chunk = jnp.concatenate(
             [d_sum[0:6], jnp.abs(d_sum[0:2]), d_sum[8:]], axis=0
@@ -658,7 +674,7 @@ def _bwd_kernel(
 
 def _eo_zero_write(flags, live_bit, dout_ref):
     """EO_ZERO_WRITE epilogue (shared by both walks): an originally-live
-    (bit5) first-toucher (bit2) whose compute was early-outed (not bit1)
+    (bit 3+EO_PARTS) first-toucher (bit2) whose compute was early-outed (not bit1)
     writes zeros — the exact gradient of every post-termination slot — so
     no chunk a tile covers is ever left unwritten (see EO_ZERO_WRITE)."""
     if not (BWD_EARLY_OUT and EO_ZERO_WRITE):
@@ -666,7 +682,7 @@ def _eo_zero_write(flags, live_bit, dout_ref):
 
     zero_write = (
         jnp.logical_not(live_bit)
-        & ((flags >> 5) & 1 == 1)
+        & ((flags >> (3 + EO_PARTS)) & 1 == 1)
         & ((flags >> 2) & 1 == 1)
     )
 
@@ -823,7 +839,8 @@ def _bwd_kernel_rev(
     cheap split2 precision (see BWD_WALK).
 
     Flag bits match _bwd_kernel: 0 = first (reverse) segment of tile,
-    1 = live, 2 = first (reverse) toucher of this chunk, 3/4 = halves live."""
+    1 = live, 2 = first (reverse) toucher of this chunk,
+    3..3+EO_PARTS-1 = bands live, 3+EO_PARTS = originally live."""
     P = cfg.tile_size * cfg.tile_size
     s = pl.program_id(0)
     flags = flags_ref[s]
@@ -835,26 +852,26 @@ def _bwd_kernel_rev(
         )
 
     live_bit = (flags >> 1) & 1 == 1
-    half = P // 2
-    for h in (0, 1):
-        rows = slice(h * half, (h + 1) * half)
-        half_live = (flags >> (3 + h)) & 1 == 1
+    part = P // EO_PARTS
+    for h in range(EO_PARTS):
+        rows = slice(h * part, (h + 1) * part)
+        part_live = (flags >> (3 + h)) & 1 == 1
 
-        @pl.when(live_bit & half_live)
+        @pl.when(live_bit & part_live)
         def _(h=h, rows=rows):
             dbuf[h] = _bwd_half_body_rev(
                 cfg, tile_ref, chunk_ref, lo_ref, hi_ref, tstart_ref,
                 data_ref, gcolor_ref, galpha_ref, livecnt_ref, state, s,
-                rows, h * half, half,
+                rows, h * part, part,
             )
 
-        @pl.when(live_bit & jnp.logical_not(half_live))
+        @pl.when(live_bit & jnp.logical_not(part_live))
         def _(h=h):
             dbuf[h] = jnp.zeros(dbuf.shape[1:], dbuf.dtype)
 
     @pl.when(live_bit)
     def _():
-        d_sum = dbuf[0] + dbuf[1]
+        d_sum = sum(dbuf[h] for h in range(EO_PARTS))
         d_chunk = jnp.concatenate(
             [d_sum[0:6], jnp.abs(d_sum[0:2]), d_sum[8:]], axis=0
         )
@@ -973,7 +990,7 @@ def _run_fwd(cfg: _Cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, 
             tile_block,
         ] + ([tile_block] if rev else []),
         scratch_shapes=[pltpu.VMEM((P, 2), jnp.float32)]
-        + ([pltpu.SMEM((2,), jnp.int32)] if FWD_EARLY_OUT else []),
+        + ([pltpu.SMEM((EO_PARTS,), jnp.int32)] if FWD_EARLY_OUT else []),
     )
     tile_shape = jax.ShapeDtypeStruct((num_tiles, P, 1), jnp.float32)
     outs = pl.pallas_call(
@@ -1023,7 +1040,7 @@ def _run_bwd(
         out_specs=_data_spec(cfg, packed),
         scratch_shapes=[
             pltpu.VMEM((P, 3), jnp.float32),
-            pltpu.VMEM((2, D, K), jnp.float32),
+            pltpu.VMEM((EO_PARTS, D, K), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -1068,7 +1085,7 @@ def _run_bwd_rev(
         out_specs=_data_spec(cfg, packed),
         scratch_shapes=[
             pltpu.VMEM((P, 2), jnp.float32),
-            pltpu.VMEM((2, D, K), jnp.float32),
+            pltpu.VMEM((EO_PARTS, D, K), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -1111,25 +1128,34 @@ def _bwd_tables_early_out(cfg, seg_tile, seg_flags, seg_chunk, seg_lo, tile_star
     Returns (flags_bwd, chunk_bwd, visited) with visited the per-chunk
     touched-by-a-live-segment mask (untouched chunk outputs are zeroed by
     the caller — their true gradients are identically zero)."""
-    half = livecnt.shape[1] // 2
-    nl_top = jnp.max(livecnt[:, :half, 0], axis=1).astype(jnp.int32)  # (T,)
-    nl_bot = jnp.max(livecnt[:, half:, 0], axis=1).astype(jnp.int32)
+    P = livecnt.shape[1]
+    part = P // EO_PARTS
+    # per-band termination cutoffs: nl[t, h] = max live count over band h
+    nl = jnp.max(
+        livecnt[:, :, 0].reshape(-1, EO_PARTS, part), axis=2
+    ).astype(jnp.int32)  # (T, EO_PARTS)
     live0 = (seg_flags >> 1) & 1 == 1
     start = tile_starts[seg_tile]
-    live_top = live0 & (seg_lo < start + nl_top[seg_tile])
-    live_bot = live0 & (seg_lo < start + nl_bot[seg_tile])
-    live = live_top | live_bot
+    live_parts = [
+        live0 & (seg_lo < start + nl[:, h][seg_tile]) for h in range(EO_PARTS)
+    ]
+    live = live_parts[0]
+    for lp in live_parts[1:]:
+        live = live | lp
+    part_bits = sum(
+        (1 << (3 + h)) * live_parts[h].astype(jnp.int32)
+        for h in range(EO_PARTS)
+    )
     if EO_ZERO_WRITE:
         # Originally-live segments KEEP their own chunk and the binning's
         # first-toucher bit; early-outed first touchers write zeros in the
-        # kernel (bit5 marks original liveness), so every covered chunk is
-        # written and no outside mask pass is needed.
+        # kernel (bit 3+EO_PARTS marks original liveness), so every covered
+        # chunk is written and no outside mask pass is needed.
         flags_bwd = (
             (seg_flags & (1 + 4))
             + 2 * live.astype(jnp.int32)
-            + 8 * live_top.astype(jnp.int32)
-            + 16 * live_bot.astype(jnp.int32)
-            + 32 * (live0.astype(jnp.int32))
+            + part_bits
+            + (1 << (3 + EO_PARTS)) * live0.astype(jnp.int32)
         )
         return flags_bwd, seg_chunk, None
     # Newly-dead segments must not open an unwritten output window (Mosaic
@@ -1148,8 +1174,7 @@ def _bwd_tables_early_out(cfg, seg_tile, seg_flags, seg_chunk, seg_lo, tile_star
         (seg_flags & 1)
         + 2 * live.astype(jnp.int32)
         + 4 * chunk_first.astype(jnp.int32)
-        + 8 * live_top.astype(jnp.int32)
-        + 16 * live_bot.astype(jnp.int32)
+        + part_bits
     )
     return flags_bwd, chunk_bwd, live
 
@@ -1203,7 +1228,7 @@ def _reverse_tables(seg_tile, flags_bwd, chunk_bwd, seg_lo, seg_hi, n_chunks):
     # instead of repeating a neighbor's chunk. Without it, bit1 (the
     # post-early-out live set) is the owner set, as before.
     if BWD_EARLY_OUT and EO_ZERO_WRITE:
-        live_r = (flags_r >> 5) & 1 == 1
+        live_r = (flags_r >> (3 + EO_PARTS)) & 1 == 1
     else:
         live_r = (flags_r >> 1) & 1 == 1
     first_r = jnp.concatenate(
@@ -1218,7 +1243,7 @@ def _reverse_tables(seg_tile, flags_bwd, chunk_bwd, seg_lo, seg_hi, n_chunks):
         first_r.astype(jnp.int32)
         + (flags_r & 2)  # live bit
         + 4 * chunk_first.astype(jnp.int32)
-        + (flags_r & (8 + 16 + 32))  # half-live + original-live bits
+        + (flags_r & (((1 << (EO_PARTS + 1)) - 1) << 3))  # band + orig-live bits
     )
     return tile_r, flags_rev, chunk_safe, seg_lo[::-1], seg_hi[::-1]
 
@@ -1227,8 +1252,9 @@ def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
     packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts, color, alpha, livecnt, t_final = res
     g_color, g_alpha = cots
     live0 = (seg_flags >> 1) & 1
-    # without table EO, both half-live bits mirror the segment live bit
-    flags_bwd, chunk_bwd = seg_flags + 8 * live0 + 16 * live0, seg_chunk
+    # without table EO, every band-live bit mirrors the segment live bit
+    flags_bwd = seg_flags + sum((1 << (3 + h)) * live0 for h in range(EO_PARTS))
+    chunk_bwd = seg_chunk
     visited = None
     n_chunks = (
         packed.shape[0] if PACKED_ROW_MAJOR else packed.shape[1]
