@@ -105,6 +105,16 @@ class ControlTrainer(Trainer):
             self.state.deform_vars,
         )
 
+    def _eval_scan_key(self) -> tuple:
+        """Stage-2 scan-render additionally captures the clustering mask and
+        the init time — include their identities/value so a recomputed mask
+        or a new first frame invalidates the cached jitted sweep (ADVICE r4)."""
+        return (
+            id(self.config),
+            id(self.gaussian_mask),
+            float(self.init_time),
+        )
+
     def _eval_scan_render(self):
         """Batched-eval hook (Trainer._eval_sweep_fn): stage-2 sweeps must
         render through the CONTROL model, like _render_rgb."""
@@ -136,7 +146,8 @@ class ControlTrainer(Trainer):
         """Cached jitted stage-2 inference render (train-mode control state);
         see Trainer._eval_render for why eval must not dispatch eagerly."""
         cfg = self.config
-        if getattr(self, "_ctrl_eval_cfg", None) is not cfg:
+        key = self._eval_scan_key()  # same captures as the sweep closure
+        if getattr(self, "_ctrl_eval_key", None) != key:
             import jax
 
             control_apply = self.control_apply
@@ -162,7 +173,7 @@ class ControlTrainer(Trainer):
                 )["rgb"]
 
             self._ctrl_eval_cache = render
-            self._ctrl_eval_cfg = cfg
+            self._ctrl_eval_key = key
         return self._ctrl_eval_cache
 
     # eval_all / eval_one are inherited: they render via the overridden

@@ -275,6 +275,13 @@ class Trainer:
 
         return render
 
+    def _eval_scan_key(self) -> tuple:
+        """Identities of every object the _eval_scan_render closure captures
+        at build time — the sweep cache key must change when any of them is
+        replaced, or a cached sweep keeps stale captures (ADVICE r4).
+        Subclasses whose scan-render captures more MUST extend this."""
+        return (id(self.config),)
+
     def _eval_sweep_fn(self, n_frames: int):
         """ONE-dispatch eval sweep: renders every stacked eval frame inside a
         jitted lax.scan and reduces PSNR/SSIM on device. The per-frame python
@@ -282,9 +289,8 @@ class Trainer:
         metric sync — on the tunneled chip that is ~0.3-1 s per frame of pure
         host latency, and transient host load swung measured rays/s 150x
         between sweeps at UNCHANGED device throughput (docs/QUALITY_R3.md;
-        VERDICT r3 item 5). Cache key: config identity + frame count."""
-        cfg = self.config
-        key = (id(cfg), n_frames)
+        VERDICT r3 item 5). Cache key: _eval_scan_key() + frame count."""
+        key = self._eval_scan_key() + (n_frames,)
         if getattr(self, "_eval_sweep_key", None) != key:
             render = self._eval_scan_render()
 
@@ -308,7 +314,10 @@ class Trainer:
     def _eval_arena(self, dm, max_images):
         """Stacked eval-split arena (camera SoA + gt stack), device-resident;
         rebuilt only when the split or cap changes."""
-        key = (id(dm), max_images)
+        # key on the dm OBJECT (held strongly by the cache entry) — keying on
+        # id(dm) alone could alias a new datamanager that reuses a collected
+        # one's id and silently serve the previous split's frames (ADVICE r4)
+        key = (dm, max_images)
         cached = getattr(self, "_eval_arena_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]

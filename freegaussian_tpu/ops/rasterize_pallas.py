@@ -272,8 +272,11 @@ BWD_EARLY_OUT = True
 # compute is early-outed WRITES ZEROS explicitly — the true gradient of
 # every post-termination slot. Sorted-array tail chunks (beyond the last
 # tile's range) still hold garbage, but their slots carry the padding
-# Gaussian id, which the _gather_rows select drops — same invariant as the
-# BWD_EARLY_OUT=False path.
+# Gaussian id, which sorts-to-the-end in the _gather_rows_bwd gid sort while
+# every boundary read is clamped to the kept total — so garbage rows are
+# never reduced into any real Gaussian's gradient (invariant proven by
+# tests/test_rasterize_pallas.py::test_gather_rows_bwd_immune_to_tail_garbage;
+# same invariant as the BWD_EARLY_OUT=False path).
 EO_ZERO_WRITE = True
 
 # Early-out granularity: the tile's P pixels split into EO_PARTS row bands,

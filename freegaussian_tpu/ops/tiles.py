@@ -151,7 +151,14 @@ def build_intersections(
     tminx, tmaxx, tminy, tmaxy = tile_bounds(means2d, radii, tile_size, tiles_w, tiles_h)
     dx = tmaxx - tminx
     dy = tmaxy - tminy
-    counts = jnp.where(radii > 0, dx * dy, 0)  # (N,) bbox tile counts
+    # Explicit depth <= 0 cull (gsplat semantics: z < near never rasterizes,
+    # gsplat isect_tiles sorts only z > 0 survivors). Projection already
+    # zeroes radii for z <= near_plane (projection.py), so this is normally
+    # redundant — but callers may hand in externally-produced radii/depths,
+    # and the single-key sort below bitcasts depth to int32, where a negative
+    # float would break key monotonicity. Culling here (not clamping at the
+    # key) keeps counts/offsets consistent for the gradient reduction.
+    counts = jnp.where((radii > 0) & (depths > 0), dx * dy, 0)  # (N,) kept bbox tiles
 
     tile_tab = None
     small = None
@@ -284,11 +291,12 @@ def build_intersections(
 
     if SINGLE_KEY_SORT and num_tiles < (1 << 11):
         # positive-f32 bit patterns sort like the floats; keep 20 bits.
-        # Depth positivity invariant: projection zeroes radii for
-        # z <= near_plane (projection.py:80), so no valid slot reaches here
-        # with depth <= 0 (invalid slots carry +inf). The max(., 0) is pure
-        # bit-safety — a negative float would bitcast to a huge int and
-        # break key monotonicity — not a semantic clamp (ADVICE r3).
+        # Depth positivity invariant: the explicit depths > 0 cull at the
+        # counts stage above (plus projection zeroing radii for
+        # z <= near_plane) guarantees no valid slot reaches here with
+        # depth <= 0 (invalid slots carry +inf). The max(., 0) is pure
+        # bit-safety, not a semantic clamp (ADVICE r3 / VERDICT r4 #7;
+        # regression: tests/test_tiles.py negative-depth cull test).
         dbits = jax.lax.bitcast_convert_type(
             jnp.maximum(depth_key.astype(jnp.float32), 0.0), jnp.int32
         )

@@ -263,6 +263,27 @@ def test_build_intersections_depth_order_within_tile():
     assert np.all(np.diff(d) >= 0)
 
 
+def test_build_intersections_negative_depth_culled():
+    """Explicit depth <= 0 cull before key packing (VERDICT r4 #7).
+
+    Projection normally guarantees depth > near for any radii > 0, but
+    externally-produced inputs can violate that; a negative depth must be
+    culled (gsplat near-plane semantics), not clamped to sort key 0 —
+    clamping would composite it in FRONT of everything in its tile."""
+    means2d = jnp.array([[8.0, 8.0], [8.0, 8.0], [8.0, 8.0]])
+    radii = jnp.array([4, 4, 4], dtype=jnp.int32)
+    depths = jnp.array([2.0, -1.0, 0.0])  # G1 negative, G2 exactly zero
+    isect = build_intersections(means2d, radii, depths, 16, 16, 16, capacity=16)
+    assert int(isect.num_isects) == 1  # only G0 occupies a slot
+    counts = np.asarray(isect.counts)
+    assert counts[0] == 1 and counts[1] == 0 and counts[2] == 0
+    gids = np.asarray(isect.gauss_ids)
+    assert gids[0] == 0
+    assert np.all(gids[1:] == 3)  # G1/G2 nowhere in the sorted array
+    offs = np.asarray(isect.tile_offsets)
+    assert offs[0] == 0 and offs[1] == 1
+
+
 def test_packed_mode_outputs():
     """gsplat packed-mode contract (ref preprocess/knn_gaussian.py:93-113):
     per-intersection gaussian_ids / means2d / depths in (tile, depth) order."""
