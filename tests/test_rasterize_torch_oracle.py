@@ -208,6 +208,212 @@ def test_backward_matches_torch_autograd():
         )
 
 
+def _make_3d_scene(n=60, seed=11):
+    """Random 3D Gaussians in front of a pinhole camera (for the API-level
+    ED / packed tests, which exercise rasterization()'s channel wiring)."""
+    rng = np.random.default_rng(seed)
+    means = np.stack(
+        [
+            rng.uniform(-1.2, 1.2, n),
+            rng.uniform(-0.9, 0.9, n),
+            rng.uniform(1.5, 6.0, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    q = rng.normal(size=(n, 4))
+    quats = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+    scales = rng.uniform(0.03, 0.15, size=(n, 3)).astype(np.float32)
+    opacities = rng.uniform(0.2, 0.95, size=n).astype(np.float32)
+    colors = rng.uniform(size=(n, 3)).astype(np.float32)
+    width, height = 48, 32
+    K = np.array(
+        [[40.0, 0, width / 2], [0, 40.0, height / 2], [0, 0, 1]], np.float32
+    )
+    viewmat = np.eye(4, dtype=np.float32)
+    return means, quats, scales, opacities, colors, viewmat, K, width, height
+
+
+def _capture_pixel_stage(call):
+    """Run a rasterization() call capturing the exact pixel-stage operands
+    (post projection / channel assembly / radius tightening)."""
+    from freegaussian_tpu.ops import rasterize as rast_mod
+
+    captured = {}
+    rast_mod._pixel_stage_capture = lambda d: captured.update(d)
+    try:
+        out = call()
+    finally:
+        rast_mod._pixel_stage_capture = None
+    return out, captured
+
+
+@pytest.mark.parametrize("render_mode", ["ED", "RGB+ED"])
+def test_expected_depth_matches_torch_oracle(render_mode):
+    """Expected-depth compositing (gsplat render_mode ED / RGB+ED, consumed
+    by clustering at ref preprocess/knn_gaussian.py:93-113 and by the depth
+    output at ref freegaussian_model.py:884-888) vs the independent torch
+    compositor: per-Gaussian camera depth composited like a color channel,
+    then normalized by accumulated alpha. Pins BOTH backends through the
+    real rasterization() wiring (channel assembly + normalization)."""
+    from freegaussian_tpu.ops.rasterize import rasterization
+
+    means, quats, scales, opacities, colors, viewmat, K, width, height = (
+        _make_3d_scene()
+    )
+    args = (
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opacities), jnp.asarray(colors), jnp.asarray(viewmat),
+        jnp.asarray(K), width, height,
+    )
+
+    (r_ref, a_ref, _), cap = _capture_pixel_stage(
+        lambda: rasterization(*args, render_mode=render_mode, backend="reference")
+    )
+    r_pal, a_pal, _ = rasterization(*args, render_mode=render_mode, backend="pallas")
+
+    # torch oracle composites the SAME pixel-stage operands (projection has
+    # its own independent torch oracle, tests/test_projection.py)
+    t = lambda x: torch.tensor(np.asarray(x), dtype=torch.float64)
+    with torch.no_grad():
+        render_t, alpha_t = torch_rasterize(
+            t(cap["means2d_px"]), t(cap["conics"]), t(cap["channels"]),
+            t(cap["opacities"]), np.asarray(cap["depths"]),
+            np.asarray(cap["radii_pixel"]), width, height,
+        )
+        ed_t = render_t[..., -1] / torch.clamp(alpha_t, min=1e-10)
+        expected = torch.cat([render_t[..., :-1], ed_t[..., None]], dim=-1)
+
+    assert float(alpha_t.max()) > 0.5  # scene actually covers pixels
+    for name, got in (("reference", r_ref), ("pallas", r_pal)):
+        np.testing.assert_allclose(
+            np.asarray(got[0]), expected.numpy(), atol=1e-3,
+            err_msg=f"{name} {render_mode} diverges from the torch ED oracle",
+        )
+        np.testing.assert_allclose(
+            np.asarray(a_ref if name == "reference" else a_pal)[0, ..., 0],
+            alpha_t.numpy(), atol=5e-5,
+        )
+
+
+def test_ed_depth_gradients_match_torch_autograd():
+    """Backward of the expected-depth output: gradients wrt the per-Gaussian
+    depth CHANNEL (and everything the alpha normalization touches) vs torch
+    autograd. Depth-as-sort-key is not differentiated on either side, matching
+    the gsplat contract (sort order is discrete)."""
+    args = make_clustered_scene(n=50, width=32, height=32, seed=9)
+    width, height = 32, 32
+    means2d, conics, colors, opacities, depths, radii = args
+    target = np.random.default_rng(13).uniform(size=(height, width, 4)).astype(np.float32)
+
+    tm, tc, tcol, top, _, _ = _to_torch(args, requires_grad=True)
+    td = torch.tensor(depths, dtype=torch.float64, requires_grad=True)
+    t_target = torch.tensor(target, dtype=torch.float64)
+    channels_t = torch.cat([tcol, td[:, None]], dim=-1)
+    render_t, alpha_t = torch_rasterize(
+        tm, tc, channels_t, top, depths, radii, width, height
+    )
+    ed_t = render_t[..., -1:] / torch.clamp(alpha_t[..., None], min=1e-10)
+    out_t = torch.cat([render_t[..., :-1], ed_t], dim=-1)
+    loss_t = ((out_t - t_target) ** 2).sum()
+    loss_t.backward()
+
+    jm, jc, jcol, jop, jd, jr = tuple(jnp.asarray(a) for a in args)
+    jt = jnp.asarray(target)
+
+    def loss_pal(m, c, col, op, d):
+        channels = jnp.concatenate([col, d[:, None]], axis=-1)
+        render, alpha, _ = rasterize_pixels_pallas(
+            m, c, channels, op, jax.lax.stop_gradient(d), jr, width, height,
+            interpret=True,
+        )
+        ed = render[..., -1:] / jnp.clip(alpha, 1e-10, None)
+        out = jnp.concatenate([render[..., :-1], ed], axis=-1)
+        return jnp.sum((out - jt) ** 2)
+
+    l_pal, grads = jax.value_and_grad(loss_pal, argnums=(0, 1, 2, 3, 4))(
+        jm, jc, jcol, jop, jd
+    )
+    np.testing.assert_allclose(float(l_pal), float(loss_t.detach()), rtol=1e-5)
+    for g_jax, g_torch, name, tol in (
+        (grads[0], tm.grad, "means2d", 3e-4),
+        (grads[1], tc.grad, "conics", 3e-4),
+        (grads[2], tcol.grad, "colors", 1e-4),
+        (grads[3], top.grad, "opacities", 3e-4),
+        (grads[4], td.grad, "depths(channel)", 2e-4),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g_jax), g_torch.numpy(), rtol=2e-3, atol=tol,
+            err_msg=f"ED-mode d{name} diverges from torch autograd",
+        )
+
+
+def test_packed_outputs_match_independent_rederivation():
+    """Packed per-intersection outputs (gsplat packed=True contract, consumed
+    by clustering at ref preprocess/knn_gaussian.py:93-124) vs an independent
+    numpy re-derivation of isect_tiles: every (tile, gaussian) pair whose
+    radius bbox overlaps the tile, sorted by tile then depth."""
+    from freegaussian_tpu.ops.rasterize import rasterization
+
+    means, quats, scales, opacities, colors, viewmat, K, width, height = (
+        _make_3d_scene(n=40, seed=21)
+    )
+    tile_size = 16
+    args = (
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opacities), jnp.asarray(colors), jnp.asarray(viewmat),
+        jnp.asarray(K), width, height,
+    )
+    _, _, info = rasterization(
+        *args, render_mode="ED", backend="reference", packed=True
+    )
+
+    # independent expansion from the projection outputs (projection itself is
+    # oracle-pinned in tests/test_projection.py)
+    m2d = np.asarray(info.means2d)
+    radii = np.asarray(info.radii)
+    depths = np.asarray(info.depths)
+    n = m2d.shape[0]
+    tiles_w = -(-width // tile_size)
+    tiles_h = -(-height // tile_size)
+    pairs = []  # (tile_id, gid)
+    for g in range(n):
+        r = float(radii[g])
+        if r <= 0 or depths[g] <= 0:
+            continue
+        tminx = int(np.clip(np.floor((m2d[g, 0] - r) / tile_size), 0, tiles_w))
+        tmaxx = int(np.clip(np.ceil((m2d[g, 0] + r) / tile_size), 0, tiles_w))
+        tminy = int(np.clip(np.floor((m2d[g, 1] - r) / tile_size), 0, tiles_h))
+        tmaxy = int(np.clip(np.ceil((m2d[g, 1] + r) / tile_size), 0, tiles_h))
+        for ty in range(tminy, tmaxy):
+            for tx in range(tminx, tmaxx):
+                pairs.append((ty * tiles_w + tx, g))
+    expected = sorted(pairs, key=lambda p: (p[0], depths[p[1]]))
+
+    ni = int(info.num_isects)
+    assert ni == len(expected), "packed num_isects != independent expansion"
+    gids = np.asarray(info.gaussian_ids)[:ni]
+    tids = np.asarray(info.tile_ids)[:ni]
+    # multiset of (tile, gaussian) pairs must match exactly
+    assert sorted(zip(tids.tolist(), gids.tolist())) == sorted(pairs)
+    # within each tile, depth must be non-decreasing up to the single-key
+    # sort's documented 2^-12 relative tie granularity (ops/tiles.py)
+    d_sorted = depths[gids]
+    for t0 in np.unique(tids):
+        dt = d_sorted[tids == t0]
+        assert np.all(np.diff(dt) >= -np.abs(dt[:-1]) * 2.0**-11), (
+            f"tile {t0} not depth-ordered"
+        )
+    # per-intersection gathers are consistent with gaussian_ids
+    np.testing.assert_allclose(
+        np.asarray(info.isect_means2d)[:ni], m2d[gids], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(info.isect_depths)[:ni], depths[gids], rtol=1e-6
+    )
+    # padding rows carry the sentinel gid N
+    assert np.all(np.asarray(info.gaussian_ids)[ni:] == n)
+
+
 @pytest.mark.slow
 def test_absgrad_matches_torch_per_tile():
     """absgrad (AbsGS densification statistic) vs the torch oracle: per-tile
