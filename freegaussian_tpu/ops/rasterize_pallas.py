@@ -71,22 +71,27 @@ def _gather_rows_fwd(per_gauss, gids, offsets, counts):
     return per_gauss[gids], (gids, offsets, counts, per_gauss.shape[0] - 1)
 
 
-def _gather_rows_bwd(res, d_rows):
-    gids, offsets, counts, n = res
+def _reduce_rows_by_gid(d_rows, gids, offsets, counts):
+    """Deterministic per-Gaussian segment reduction of per-intersection
+    cotangent rows: sort rows by gid, f32 prefix sum, diff at the N+1 group
+    boundaries. Returns (N + 1, D) f32 (zero padding row last).
+
+    Rows past the kept total (padding gid == N) sort to the END, and every
+    boundary below is <= the kept total, so the prefix sums the boundary
+    diffs READ never include them — garbage there (inf/NaN bit patterns in
+    never-written tail chunks; see EO_ZERO_WRITE) cannot leak. The old
+    explicit zeroing select cost ~0.39 ms as an unfused (cap, D) pass.
+    Exclusive prefix S: group sums are adjacent differences of S at the
+    N+1 group boundaries — ONE (N+1)-row gather instead of two N-row
+    gathers (row gathers cost ~12 ns each on TPU). Empty groups diff to 0
+    automatically; overflow clamps to the kept range. `d_rows` may be bf16
+    (BWD_ROWS_BF16): the reorder gather moves half the bytes and the cumsum
+    upcasts to f32, so accumulation precision is unchanged."""
     cap, d = d_rows.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
     gs, order = jax.lax.sort((gids, iota), num_keys=1)
     grouped = d_rows[order]
-    # Rows past the kept total (padding gid == n) sort to the END, and every
-    # boundary below is <= the kept total, so the prefix sums the boundary
-    # diffs READ never include them — garbage there (inf/NaN bit patterns in
-    # never-written tail chunks; see EO_ZERO_WRITE) cannot leak. The old
-    # explicit zeroing select cost ~0.39 ms as an unfused (cap, D) pass.
-    # Exclusive prefix S: group sums are adjacent differences of S at the
-    # N+1 group boundaries — ONE (N+1)-row gather instead of two N-row
-    # gathers (row gathers cost ~12 ns each on TPU). Empty groups diff to 0
-    # automatically; overflow clamps to the kept range.
-    cs = jnp.cumsum(grouped, axis=0)
+    cs = jnp.cumsum(grouped.astype(jnp.float32), axis=0)
     bounds = jnp.clip(
         jnp.concatenate([offsets, offsets[-1:] + counts[-1:]]), 0, cap
     )
@@ -97,7 +102,12 @@ def _gather_rows_bwd(res, d_rows):
         (bounds > 0)[:, None], cs[jnp.maximum(bounds - 1, 0)], 0.0
     )  # (N + 1, D)
     g = vals[1:] - vals[:-1]
-    g_full = jnp.concatenate([g, jnp.zeros((1, d), g.dtype)], axis=0)
+    return jnp.concatenate([g, jnp.zeros((1, d), g.dtype)], axis=0)
+
+
+def _gather_rows_bwd(res, d_rows):
+    gids, offsets, counts, n = res
+    g_full = _reduce_rows_by_gid(d_rows, gids, offsets, counts)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     return g_full, f0(gids), f0(offsets), f0(counts)
 
@@ -138,6 +148,17 @@ CONTRACT_TILE = 16
 # VMEM-resident (128, 16) tile per grid step (a handful of VPU shuffles,
 # amortised against the 256-pixel compositing math). A/B knob for hardware.
 PACKED_ROW_MAJOR = False
+
+# Backward cotangent rows in bf16 (VERDICT r4 #1b): the backward kernel
+# STORES its per-intersection gradient rows (D, cap) as bf16 — halving the
+# kernel's output DMA, the legacy-order transpose, and the reduction's
+# reorder gather — and the per-Gaussian segment reduction upcasts to f32 at
+# the cumsum, so accumulation precision is unchanged. Costs ONE bf16
+# rounding per intersection row (plus per-chunk boundary accumulates);
+# gradients already carry the termination-flip budget, and Adam normalizes
+# magnitudes. Requires the merged pixel-stage VJP (_rasterize_rows), whose
+# internal cotangents are free of the custom_vjp dtype contract.
+BWD_ROWS_BF16 = False
 
 # Backward walk order. "fwd" (legacy): re-walk segments front-to-back with
 # the suffix identity r_after = R_total - S_{<=k}; the large-total
@@ -664,15 +685,26 @@ def _bwd_kernel(
         if PACKED_ROW_MAJOR:
             d_chunk = d_chunk.T  # (K, D) store order; flip is VMEM-resident
 
-        @pl.when((flags >> 2) & 1 == 1)
-        def _():
-            dout_ref[...] = d_chunk
-
-        @pl.when((flags >> 2) & 1 == 0)
-        def _():
-            dout_ref[...] += d_chunk
+        _store_dchunk(flags, dout_ref, d_chunk)
 
     _eo_zero_write(flags, live_bit, dout_ref)
+
+
+def _store_dchunk(flags, dout_ref, d_chunk):
+    """First toucher (bit2) writes the chunk's gradient block; later
+    touchers accumulate. With BWD_ROWS_BF16 the output block is bf16: the
+    accumulate upcasts the resident block to f32 for the add and rounds
+    once at the store (the f32 math stays VMEM-local)."""
+
+    @pl.when((flags >> 2) & 1 == 1)
+    def _():
+        dout_ref[...] = d_chunk.astype(dout_ref.dtype)
+
+    @pl.when((flags >> 2) & 1 == 0)
+    def _():
+        dout_ref[...] = (
+            dout_ref[...].astype(d_chunk.dtype) + d_chunk
+        ).astype(dout_ref.dtype)
 
 
 def _eo_zero_write(flags, live_bit, dout_ref):
@@ -882,13 +914,7 @@ def _bwd_kernel_rev(
         if PACKED_ROW_MAJOR:
             d_chunk = d_chunk.T
 
-        @pl.when((flags >> 2) & 1 == 1)
-        def _():
-            dout_ref[...] = d_chunk
-
-        @pl.when((flags >> 2) & 1 == 0)
-        def _():
-            dout_ref[...] += d_chunk
+        _store_dchunk(flags, dout_ref, d_chunk)
 
     _eo_zero_write(flags, live_bit, dout_ref)
 
@@ -1049,7 +1075,10 @@ def _run_bwd(
     return pl.pallas_call(
         functools.partial(_bwd_kernel, cfg),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            packed.shape,
+            jnp.bfloat16 if BWD_ROWS_BF16 else jnp.float32,
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -1094,7 +1123,10 @@ def _run_bwd_rev(
     return pl.pallas_call(
         functools.partial(_bwd_kernel_rev, cfg),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            packed.shape,
+            jnp.bfloat16 if BWD_ROWS_BF16 else jnp.float32,
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -1193,20 +1225,21 @@ def _mask_unvisited_chunks(d_packed: jax.Array, visited: jax.Array, chunk: int) 
     be a select: a multiply turns inf*0 into NaN and poisons the whole
     per-Gaussian reduction — the root cause of the step-1451 training
     collapse (docs/NOTES_ROUND2.md)."""
+    zero = jnp.zeros((), d_packed.dtype)
     if PACKED_ROW_MAJOR:
         cap, d_rows = d_packed.shape
         n_chunks = cap // chunk
         return jnp.where(
             (visited > 0)[:, None, None],
             d_packed.reshape(n_chunks, chunk, d_rows),
-            0.0,
+            zero,
         ).reshape(cap, d_rows)
     d_rows, cap = d_packed.shape
     n_chunks = cap // chunk
     return jnp.where(
         (visited > 0)[None, :, None],
         d_packed.reshape(d_rows, n_chunks, chunk),
-        0.0,
+        zero,
     ).reshape(d_rows, cap)
 
 
@@ -1251,9 +1284,12 @@ def _reverse_tables(seg_tile, flags_bwd, chunk_bwd, seg_lo, seg_hi, n_chunks):
     return tile_r, flags_rev, chunk_safe, seg_lo[::-1], seg_hi[::-1]
 
 
-def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
-    packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts, color, alpha, livecnt, t_final = res
-    g_color, g_alpha = cots
+def _pixel_bwd_dpacked(
+    cfg, num_seg_cap, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi,
+    tile_starts, color, alpha, livecnt, t_final, g_color, g_alpha,
+):
+    """Run the backward pixel kernel; returns d_packed in the packed memory
+    order (bf16 when BWD_ROWS_BF16)."""
     live0 = (seg_flags >> 1) & 1
     # without table EO, every band-live bit mirrors the segment live bit
     flags_bwd = seg_flags + sum((1 << (3 + h)) * live0 for h in range(EO_PARTS))
@@ -1298,6 +1334,16 @@ def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
         )
     if visited is not None:
         d_packed = _mask_unvisited_chunks(d_packed, visited, cfg.chunk)
+    return d_packed
+
+
+def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
+    packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts, color, alpha, livecnt, t_final = res
+    g_color, g_alpha = cots
+    d_packed = _pixel_bwd_dpacked(
+        cfg, num_seg_cap, packed, seg_tile, seg_flags, seg_chunk, seg_lo,
+        seg_hi, tile_starts, color, alpha, livecnt, t_final, g_color, g_alpha,
+    ).astype(packed.dtype)  # custom_vjp dtype contract (standalone users)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     return (
         d_packed, f0(seg_tile), f0(seg_flags), f0(seg_chunk), f0(seg_lo),
@@ -1306,6 +1352,66 @@ def _rasterize_tiles_bwd(cfg, num_seg_cap, res, cots):
 
 
 _rasterize_tiles.defvjp(_rasterize_tiles_fwd, _rasterize_tiles_bwd)
+
+
+# Merged pixel-stage VJP: row gather + pixel kernels in ONE custom_vjp so
+# the backward's per-intersection cotangents never cross a custom_vjp dtype
+# boundary (which would force f32) — the kernel's d_packed flows straight
+# into the sort-based per-Gaussian reduction, in bf16 when BWD_ROWS_BF16.
+
+
+def _pack_gathered(per_gauss, gids):
+    packed = per_gauss[gids]  # (capacity, D)
+    return packed if PACKED_ROW_MAJOR else packed.T
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _rasterize_rows(
+    cfg, num_seg_cap, per_gauss, gids, offsets, counts,
+    seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts,
+):
+    packed = _pack_gathered(per_gauss, gids)
+    color, alpha, _, _ = _run_fwd(
+        cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap
+    )
+    return color, alpha
+
+
+def _rasterize_rows_fwdfn(
+    cfg, num_seg_cap, per_gauss, gids, offsets, counts,
+    seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, tile_starts,
+):
+    packed = _pack_gathered(per_gauss, gids)
+    color, alpha, livecnt, t_final = _run_fwd(
+        cfg, packed, seg_tile, seg_flags, seg_chunk, seg_lo, seg_hi, num_seg_cap
+    )
+    res = (
+        packed, gids, offsets, counts, seg_tile, seg_flags, seg_chunk,
+        seg_lo, seg_hi, tile_starts, color, alpha, livecnt, t_final,
+    )
+    return (color, alpha), res
+
+
+def _rasterize_rows_bwdfn(cfg, num_seg_cap, res, cots):
+    (
+        packed, gids, offsets, counts, seg_tile, seg_flags, seg_chunk,
+        seg_lo, seg_hi, tile_starts, color, alpha, livecnt, t_final,
+    ) = res
+    g_color, g_alpha = cots
+    d_packed = _pixel_bwd_dpacked(
+        cfg, num_seg_cap, packed, seg_tile, seg_flags, seg_chunk, seg_lo,
+        seg_hi, tile_starts, color, alpha, livecnt, t_final, g_color, g_alpha,
+    )
+    d_rows = d_packed if PACKED_ROW_MAJOR else d_packed.T  # (capacity, D)
+    g_full = _reduce_rows_by_gid(d_rows, gids, offsets, counts)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (
+        g_full, f0(gids), f0(offsets), f0(counts), f0(seg_tile),
+        f0(seg_flags), f0(seg_chunk), f0(seg_lo), f0(seg_hi), f0(tile_starts),
+    )
+
+
+_rasterize_rows.defvjp(_rasterize_rows_fwdfn, _rasterize_rows_bwdfn)
 
 
 # -----------------------------------------------------------------------------
@@ -1403,19 +1509,19 @@ def rasterize_pixels_pallas(
     per_gauss = jnp.concatenate(
         [per_gauss, jnp.zeros((1, per_gauss.shape[1]), per_gauss.dtype)], axis=0
     )
-    packed = _gather_rows(
-        per_gauss, isect.gauss_ids, isect.offsets, isect.counts
-    )  # (capacity, D) — differentiable; custom sort-based segment-sum VJP
-    if not PACKED_ROW_MAJOR:
-        packed = packed.T  # legacy (D, capacity) kernel memory order
-
     seg_flags = (
         isect.seg_first + 2 * isect.seg_live + 4 * isect.seg_chunk_first
     ).astype(jnp.int32)
-    color_tiles, alpha_tiles = _rasterize_tiles(
+    # Merged gather + pixel kernels (one custom_vjp): the backward's
+    # per-intersection cotangents flow kernel -> sort-based per-Gaussian
+    # reduction without a dtype boundary (bf16 when BWD_ROWS_BF16).
+    color_tiles, alpha_tiles = _rasterize_rows(
         cfg,
         isect.num_seg_cap,
-        packed,
+        per_gauss,
+        isect.gauss_ids,
+        isect.offsets,
+        isect.counts,
         isect.seg_tile,
         seg_flags,
         isect.seg_chunk,

@@ -41,6 +41,16 @@ PRECULL_T_MAX = 32
 # automatically on images with more than 2047 tiles.
 SINGLE_KEY_SORT = True
 
+# Slot -> Gaussian inversion implementation (the expansion's variable-length
+# repeat). "scatter": scatter each Gaussian's index at its first slot +
+# cummax fill (XLA scatter costs ~7 ns/write — 0.72 ms at the bench point).
+# "sort": gid[s] = searchsorted(offsets, s, side="right") - 1 via the
+# sort-based merge (one (N + capacity) co-sort; the slot queries are already
+# sorted, so the merge is linear work) — equivalent for empty Gaussians
+# because the owner of slot s is exactly the LAST g with offsets[g] <= s.
+# A/B knob for hardware.
+SLOT_INVERT = "scatter"
+
 
 class Intersections(NamedTuple):
     gauss_ids: jax.Array  # (I_CAP,) int32 Gaussian index per intersection; N for padding
@@ -205,17 +215,28 @@ def build_intersections(
 
     offsets = jnp.cumsum(counts) - counts  # exclusive cumsum (N,)
 
-    # Slot -> Gaussian inversion WITHOUT searchsorted (random-access gathers
-    # are the slow path on TPU): scatter each Gaussian's index at its first
-    # slot, then a cummax fills the runs. Gaussians with count == 0 share an
-    # offset with their successor; dropping them keeps the scatter unique.
+    # Slot -> Gaussian inversion (see SLOT_INVERT). The scatter form avoids
+    # random-access gathers (the slow path on TPU): scatter each Gaussian's
+    # index at its first slot, then a cummax fills the runs. Gaussians with
+    # count == 0 share an offset with their successor; dropping them keeps
+    # the scatter unique.
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    g_idx = jnp.arange(n, dtype=jnp.int32)
-    first_slot = jnp.where(counts > 0, offsets, capacity)
-    mark = jnp.full((capacity,), -1, jnp.int32).at[first_slot].max(
-        g_idx, mode="drop"
-    )
-    gid = jnp.clip(jax.lax.cummax(mark, axis=0), 0, n - 1)
+    if SLOT_INVERT == "sort":
+        gid = jnp.clip(
+            jnp.searchsorted(
+                offsets.astype(jnp.int32), slots, side="right", method="sort"
+            ).astype(jnp.int32)
+            - 1,
+            0,
+            n - 1,
+        )
+    else:
+        g_idx = jnp.arange(n, dtype=jnp.int32)
+        first_slot = jnp.where(counts > 0, offsets, capacity)
+        mark = jnp.full((capacity,), -1, jnp.int32).at[first_slot].max(
+            g_idx, mode="drop"
+        )
+        gid = jnp.clip(jax.lax.cummax(mark, axis=0), 0, n - 1)
     slot_valid = slots < jnp.minimum(total, capacity)
 
     # One packed row-gather instead of per-attribute scalar gathers.

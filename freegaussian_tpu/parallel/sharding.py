@@ -118,6 +118,8 @@ def make_parallel_train_step(
     with_refine: bool = True,
     with_flow: bool = False,
     primitive_sharding: bool = True,
+    grad_reduce_dtype: str | None = None,
+    zero1: bool = False,
 ):
     """Build the pjit'd multi-chip train step.
 
@@ -134,6 +136,28 @@ def make_parallel_train_step(
     height must divide the tile axis; band-exact loss parity additionally
     wants (H / tile) % tile_size == 0 so the band tile grids align with the
     single-chip grid.
+
+    Serial-collective controls (VERDICT r4 #2 — the gradient all-reduce
+    lowers SYNCHRONOUSLY at the end of the backward in this XLA, see
+    scripts/overlap_check.py / docs/NOTES_ROUND4.md):
+
+    - `grad_reduce_dtype="bfloat16"`: cast gradients to bf16 for the wire
+      leg of the reduction and back to f32 before Adam (f32 master params +
+      moments throughout). Halves the serial collective bytes; gradient
+      noise is bounded by bf16's ~2^-8 relative rounding, downstream of
+      Adam's sqrt(v) normalization (the standard DDP gradient-compression
+      trade). Default off = bit-compatible with round-4 behavior.
+    - `zero1=True`: ZeRO-1 sharded optimizer — Gaussian-group gradients are
+      reduce-scattered over the flattened (data, tile) device axis, Adam
+      runs on each chip's 1/ndev row shard with the optimizer moments
+      STORED sharded (in/out specs partition the moment leaves' capacity
+      axis), and the updated parameter shards are all-gathered back to
+      replicated. Per-chip optimizer memory and update FLOPs drop by 1/ndev
+      and the end-of-backward serial window carries the reduce-scatter's
+      one-way bytes instead of the all-reduce's two-way bytes; composes
+      with `grad_reduce_dtype` (bf16 reduce-scatter + f32 param gather).
+      Requires capacity % (data*tile) == 0. The deform MLP (irregular leaf
+      shapes, ~2 MB) stays on the replicated all-reduce path.
     """
     H, W = image_hw
     n_tile = mesh.shape["tile"]
@@ -143,6 +167,14 @@ def make_parallel_train_step(
     use_flow_2d = with_flow and splat_cfg.flow_loss_weight > 0
     use_flow_3d = with_flow and splat_cfg.flow_3d_loss_weight > 0
     shard_axis = "tile" if primitive_sharding and n_tile > 1 else None
+    ndev = n_data * n_tile
+    rdt = jnp.dtype(grad_reduce_dtype) if grad_reduce_dtype else None
+
+    def _wire(g):
+        return g.astype(rdt) if rdt is not None else g
+
+    def _unwire(g):
+        return g.astype(jnp.float32) if rdt is not None else g
 
     def device_step(sh_degree_now, state: TrainState, cam: Camera, img, *flow_args):
         # cam leaves have leading axis 1 (this device's camera); img (1, Hs, W, 3)
@@ -272,30 +304,76 @@ def make_parallel_train_step(
         # The loss is a sum of chip-local terms (see compute_loss), so the
         # DDP all-reduce is a plain psum of both the value and the partial
         # gradients (primitive shards + bands + data groups), fused into the
-        # backward by XLA.
+        # backward by XLA. `grad_reduce_dtype` casts the wire leg; `zero1`
+        # replaces the Gaussian-group psum with a reduce-scatter + sharded
+        # Adam + param all-gather (see docstring).
         axes = ("data", "tile")
         loss = jax.lax.psum(loss_local, axes)
-        g_params = jax.tree.map(lambda g: jax.lax.psum(g, axes), g_params)
-        g_deform = jax.tree.map(lambda g: jax.lax.psum(g, axes), g_deform)
+        g_deform = jax.tree.map(
+            lambda g: _unwire(jax.lax.psum(_wire(g), axes)), g_deform
+        )
         # Densification stats: the sink cotangents already carry the loss's
         # 1/n_data frame averaging, so a plain psum assembles the per-frame
         # absgrad (bands + shards) and averages over frames in one go.
         absgrad = jax.lax.psum(absgrad, axes)
         radii = jax.lax.pmax(outputs["radii"], axes)
 
-        g_params = {
-            k: jnp.where(state.alive.reshape((-1,) + (1,) * (v.ndim - 1)), v, 0.0)
-            for k, v in g_params.items()
-        }
-        params_by_group = {k: state.params[k] for k in GAUSSIAN_GROUPS}
-        grads_by_group = {k: g_params[k] for k in GAUSSIAN_GROUPS}
+        if zero1:
+            shard_rows = capacity // ndev
+            my = jax.lax.axis_index("data") * n_tile + jax.lax.axis_index("tile")
+            row0 = my * shard_rows
+
+            def rs(g):
+                # data-major shard layout: scatter over "data" first, then
+                # "tile", matching the P(("data", "tile")) moment specs
+                g = jax.lax.psum_scatter(
+                    _wire(g), "data", scatter_dimension=0, tiled=True
+                )
+                g = jax.lax.psum_scatter(g, "tile", scatter_dimension=0, tiled=True)
+                return _unwire(g)
+
+            def shard(x):
+                return jax.lax.dynamic_slice_in_dim(x, row0, shard_rows, axis=0)
+
+            alive_shard = shard(state.alive)
+            g_shard = {
+                k: jnp.where(
+                    alive_shard.reshape((-1,) + (1,) * (g_params[k].ndim - 1)),
+                    rs(g_params[k]),
+                    0.0,
+                )
+                for k in GAUSSIAN_GROUPS
+            }
+            p_shard = {k: shard(state.params[k]) for k in GAUSSIAN_GROUPS}
+            grads_by_group = dict(g_shard)
+            params_by_group = dict(p_shard)
+        else:
+            g_params = jax.tree.map(
+                lambda g: _unwire(jax.lax.psum(_wire(g), axes)), g_params
+            )
+            g_params = {
+                k: jnp.where(
+                    state.alive.reshape((-1,) + (1,) * (v.ndim - 1)), v, 0.0
+                )
+                for k, v in g_params.items()
+            }
+            params_by_group = {k: state.params[k] for k in GAUSSIAN_GROUPS}
+            grads_by_group = {k: g_params[k] for k in GAUSSIAN_GROUPS}
         if train_deform:
             params_by_group["deform"] = state.deform_vars
             grads_by_group["deform"] = g_deform
         new_groups, new_opt_states = apply_group_updates(
             optimizers, state.opt_states, params_by_group, grads_by_group
         )
-        new_params = {k: new_groups[k] for k in GAUSSIAN_GROUPS}
+        if zero1:
+            def ag(p):
+                # inverse of rs(): gather "tile" (innermost) then "data"
+                p = jax.lax.all_gather(p, "tile", axis=0, tiled=True)
+                return jax.lax.all_gather(p, "data", axis=0, tiled=True)
+
+            new_params = {k: ag(new_groups[k]) for k in GAUSSIAN_GROUPS}
+        else:
+            new_params = {k: new_groups[k] for k in GAUSSIAN_GROUPS}
         new_deform = new_groups.get("deform", state.deform_vars)
         opt_states = dict(state.opt_states)
         opt_states.update(new_opt_states)
@@ -311,12 +389,33 @@ def make_parallel_train_step(
                     (H, W), num_train_data,
                 )
                 mask = info["moment_zero_mask"]
+                if zero1:
+                    # moments live sharded: slice the surgery mask and the
+                    # shape-matching templates to this chip's row shard
+                    my = (
+                        jax.lax.axis_index("data") * n_tile
+                        + jax.lax.axis_index("tile")
+                    )
+                    row0 = my * (capacity // ndev)
+
+                    def tmpl(name):
+                        return jax.lax.dynamic_slice_in_dim(
+                            params[name], row0, capacity // ndev, axis=0
+                        )
+
+                    mask = jax.lax.dynamic_slice_in_dim(
+                        mask, row0, capacity // ndev, axis=0
+                    )
+                else:
+                    def tmpl(name):
+                        return params[name]
                 new_opt = {}
                 for name in GAUSSIAN_GROUPS:
-                    st = zero_moment_rows(opt_states[name], mask, params[name])
+                    st = zero_moment_rows(opt_states[name], mask, tmpl(name))
                     if name == "opacities":
                         # opacity reset also resets its Adam moments, exactly
                         # as the single-chip step does (train_step.py do_refine)
+                        op_shape = tmpl("opacities").shape
                         st = jax.tree.map(
                             lambda leaf: (
                                 jnp.where(
@@ -325,7 +424,7 @@ def make_parallel_train_step(
                                     leaf,
                                 )
                                 if hasattr(leaf, "shape")
-                                and leaf.shape == params["opacities"].shape
+                                and leaf.shape == op_shape
                                 else leaf
                             ),
                             st,
@@ -373,21 +472,51 @@ def make_parallel_train_step(
         )
         return new_state, metrics
 
-    in_specs = [P(), P("data"), P("data", "tile")]
-    if with_flow:
-        in_specs += [P("data"), P("data"), P("data")]
+    def _state_spec(state: TrainState):
+        """Spec tree for the state: everything replicated, except (zero1)
+        the Gaussian-group Adam moment leaves, whose capacity axis is
+        partitioned data-major over the flattened device grid."""
+        spec = jax.tree.map(lambda _: P(), state)
+        if not zero1:
+            return spec
+        cap = state.alive.shape[0]
+        assert cap % ndev == 0, (
+            f"zero1 needs capacity ({cap}) divisible by the device count "
+            f"({ndev})"
+        )
+        sharded = P(("data", "tile"))
 
-    def build(sh_degree_now):
+        def opt_spec(group, sub):
+            if group in GAUSSIAN_GROUPS:
+                return jax.tree.map(
+                    lambda leaf: sharded
+                    if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == cap
+                    else P(),
+                    sub,
+                )
+            return jax.tree.map(lambda _: P(), sub)
+
+        return spec.replace(
+            opt_states={
+                k: opt_spec(k, v) for k, v in state.opt_states.items()
+            }
+        )
+
+    def build(sh_degree_now, state):
+        sspec = _state_spec(state)
+        in_specs = [sspec, P("data"), P("data", "tile")]
+        if with_flow:
+            in_specs += [P("data"), P("data"), P("data")]
         return shard_map(
             functools.partial(device_step, sh_degree_now),
             mesh=mesh,
             in_specs=tuple(in_specs),
-            out_specs=(P(), P()),
+            out_specs=(sspec, P()),
             check_rep=False,
         )
 
     @functools.partial(jax.jit, static_argnames=("sh_degree_now",))
     def step(state, cams, imgs, *flow_args, sh_degree_now=splat_cfg.sh_degree):
-        return build(sh_degree_now)(state, cams, imgs, *flow_args)
+        return build(sh_degree_now, state)(state, cams, imgs, *flow_args)
 
     return step

@@ -719,3 +719,84 @@ def test_gather_rows_bwd_immune_to_tail_garbage():
     for slot in range(10):
         want[gids[slot]] += d_rows[slot]
     np.testing.assert_allclose(g[:n], want[:n], rtol=1e-5, atol=1e-5)
+
+
+def test_slot_invert_sort_bit_identical():
+    """SLOT_INVERT="sort" (searchsorted merge) must reproduce the scatter+
+    cummax inversion exactly, including empty Gaussians sharing offsets and
+    capacity overflow."""
+    from freegaussian_tpu.ops import tiles
+
+    key = jax.random.PRNGKey(3)
+    n = 120
+    means2d = jax.random.uniform(key, (n, 2), minval=-5.0, maxval=70.0)
+    radii = jnp.where(
+        jax.random.uniform(jax.random.PRNGKey(4), (n,)) < 0.2,
+        0,
+        jax.random.randint(jax.random.PRNGKey(5), (n,), 1, 9),
+    ).astype(jnp.int32)
+    depths = jax.random.uniform(jax.random.PRNGKey(6), (n,), minval=0.5, maxval=9.0)
+    for cap in (64, 4096):  # overflow and headroom regimes
+        a = tiles.build_intersections(means2d, radii, depths, 64, 64, 16, cap)
+        tiles.SLOT_INVERT = "sort"
+        try:
+            b = tiles.build_intersections(means2d, radii, depths, 64, 64, 16, cap)
+        finally:
+            tiles.SLOT_INVERT = "scatter"
+        for fa, fb, name in zip(a, b, a._fields):
+            if hasattr(fa, "shape"):
+                np.testing.assert_array_equal(
+                    np.asarray(fa), np.asarray(fb), err_msg=f"{name} cap={cap}"
+                )
+
+
+def test_bwd_rows_bf16_grads_within_budget():
+    """BWD_ROWS_BF16: forward bit-identical (flag touches only the backward
+    store dtype); gradients within the bf16 rounding class of the f32 path."""
+    from freegaussian_tpu.ops import rasterize_pallas as rp
+
+    rng = np.random.default_rng(12)
+    n = 70
+    means2d = rng.uniform([2, 2], [30, 30], size=(n, 2)).astype(np.float32)
+    a_ = rng.uniform(0.08, 0.7, size=n)
+    c_ = rng.uniform(0.08, 0.7, size=n)
+    b_ = rng.uniform(-0.6, 0.6, size=n) * np.sqrt(a_ * c_)
+    conics = np.stack([a_, b_, c_], axis=-1).astype(np.float32)
+    colors = rng.uniform(size=(n, 3)).astype(np.float32)
+    opacities = rng.uniform(0.1, 0.95, size=n).astype(np.float32)
+    depths = rng.uniform(1.0, 6.0, size=n).astype(np.float32)
+    radii = np.full(n, 7, dtype=np.int32)
+    jargs = tuple(
+        jnp.asarray(x)
+        for x in (means2d, conics, colors, opacities, depths, radii)
+    )
+    W = H = 32
+    target = jnp.asarray(
+        np.random.default_rng(8).uniform(size=(H, W, 3)).astype(np.float32)
+    )
+
+    def run():
+        def loss(m, c, col, op):
+            r, a, _ = rp.rasterize_pixels_pallas(
+                m, c, col, op, jargs[4], jargs[5], W, H, interpret=True
+            )
+            return jnp.sum((r - target) ** 2) + 0.3 * jnp.sum(a[..., 0] ** 2)
+
+        return jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(*jargs[:4])
+
+    l0, g0 = run()
+    rp.BWD_ROWS_BF16 = True
+    try:
+        l1, g1 = run()
+    finally:
+        rp.BWD_ROWS_BF16 = False
+    assert float(l0) == float(l1)
+    for a, b, nm in zip(g1, g0, ("means2d", "conics", "colors", "opacities")):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.maximum(np.abs(b), 1e-3 * np.abs(b).max() + 1e-8)
+        rel = np.abs(a - b) / denom
+        # bulk must sit at the bf16 rounding class; isolated elements with
+        # cancelling per-intersection terms may reach ~10% relative (their
+        # absolute size is small — that is what cancelled)
+        assert np.median(rel) < 0.01, f"{nm}: median {np.median(rel):.3e}"
+        assert rel.max() < 0.2, f"{nm}: maxrel {rel.max():.3e}"
