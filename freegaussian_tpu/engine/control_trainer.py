@@ -214,7 +214,8 @@ class ControlTrainer(Trainer):
         """Inference: drive the articulated object with injected attribute
          3-vectors (the GUI slider path). Jitted (re-traces per resolution)."""
         cfg = self.config
-        if getattr(self, "_ctrl_slider_cfg", None) is not cfg:
+        key = self._eval_scan_key()  # includes the captured gaussian_mask
+        if getattr(self, "_ctrl_slider_key", None) != key:
             control_apply = self.control_apply
             gaussian_mask = self.gaussian_mask
 
@@ -234,7 +235,7 @@ class ControlTrainer(Trainer):
                 )
 
             self._ctrl_slider_cache = render
-            self._ctrl_slider_cfg = cfg
+            self._ctrl_slider_key = key
         return self._ctrl_slider_cache(
             self.state.params,
             self.state.alive,

@@ -17,6 +17,7 @@ training dynamics track the reference.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, NamedTuple, Sequence
 
@@ -275,11 +276,26 @@ def deform_apply_fused(
     return d_xyz, rotation, scaling
 
 
+# Deform/control trunk linear backward: False = plain autodiff (XLA emits
+# the dx+db pair as dual-output "convolution" fusions that run ~2.4x slower
+# than a clean MXU matmul at the bench point — fusion.814/.818/.820 in
+# docs/NOTES_ROUND5.md); True = custom_vjp with explicit dot_generals
+# (dx = g W^T, dW = x^T g, db = sum g), numerically the same dots, forward
+# bitwise-identical (same primal code path). A/B knob for hardware.
+SPLIT_LINEAR_VJP = False
+
+
 def _split_linear(inputs, kernel, bias, ct):
     """TorchLinear's list-input math on a raw param dict: per-input kernel
     row-slices, partial products summed — bitwise the module's own chain."""
     if not isinstance(inputs, (list, tuple)):
         inputs = [inputs]
+    if SPLIT_LINEAR_VJP:
+        return _split_linear_cvjp(jnp.dtype(ct).name, tuple(inputs), kernel, bias)
+    return _split_linear_fwd_math(tuple(inputs), kernel, bias, ct)
+
+
+def _split_linear_fwd_math(inputs, kernel, bias, ct):
     out = None
     offset = 0
     for inp in inputs:
@@ -292,6 +308,52 @@ def _split_linear(inputs, kernel, bias, ct):
         out = part if out is None else out + part
         offset += d
     return out + bias.astype(ct)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _split_linear_cvjp(ctname, inputs, kernel, bias):
+    return _split_linear_fwd_math(inputs, kernel, bias, jnp.dtype(ctname))
+
+
+def _split_linear_cvjp_fwd(ctname, inputs, kernel, bias):
+    out = _split_linear_fwd_math(inputs, kernel, bias, jnp.dtype(ctname))
+    return out, (inputs, kernel)
+
+
+def _split_linear_cvjp_bwd(ctname, res, g):
+    ct = jnp.dtype(ctname)
+    inputs, kernel = res
+    bdt = kernel.dtype
+    d_inputs = []
+    d_kparts = []
+    offset = 0
+    for inp in inputs:
+        d = inp.shape[-1]
+        # dW_j = x_j^T g: contract the batch dim directly (no physical
+        # transpose); the MXU accumulates f32 internally, output f32 = the
+        # kernel cotangent dtype.
+        d_kparts.append(
+            jax.lax.dot_general(
+                inp.astype(ct), g,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(kernel.dtype)
+        )
+        # dx_j = g W_j^T: contract the out dim against the kernel row slice
+        d_inputs.append(
+            jax.lax.dot_general(
+                g, kernel[offset : offset + d].astype(ct),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=ct,
+            ).astype(inp.dtype)
+        )
+        offset += d
+    kernel_ct = jnp.concatenate(d_kparts, axis=0)
+    d_bias = jnp.sum(g.astype(jnp.float32), axis=0).astype(bdt)
+    return tuple(d_inputs), kernel_ct, d_bias
+
+
+_split_linear_cvjp.defvjp(_split_linear_cvjp_fwd, _split_linear_cvjp_bwd)
 
 
 def deform_apply_headsfused(field: DeformField, variables, x, t):

@@ -146,8 +146,10 @@ CONTRACT_TILE = 16
 # kernels take/store (cap, D) blocks directly — (chunk, D) block loads are
 # contiguous, and the (K, D)<->(D, K) flip happens INSIDE the kernel on a
 # VMEM-resident (128, 16) tile per grid step (a handful of VPU shuffles,
-# amortised against the 256-pixel compositing math). A/B knob for hardware.
-PACKED_ROW_MAJOR = False
+# amortised against the 256-pixel compositing math). Default True since r5:
+# 18.48 -> 18.74M px/s alone, and it composes with BWD_ROWS_BF16 (19.14M
+# together, docs/NOTES_ROUND5.md ladder).
+PACKED_ROW_MAJOR = True
 
 # Backward cotangent rows in bf16 (VERDICT r4 #1b): the backward kernel
 # STORES its per-intersection gradient rows (D, cap) as bf16 — halving the
@@ -158,7 +160,11 @@ PACKED_ROW_MAJOR = False
 # gradients already carry the termination-flip budget, and Adam normalizes
 # magnitudes. Requires the merged pixel-stage VJP (_rasterize_rows), whose
 # internal cotangents are free of the custom_vjp dtype contract.
-BWD_ROWS_BF16 = False
+# Default True since r5: +0.53M px/s alone (19.01M), 19.14M with
+# PACKED_ROW_MAJOR; grads bulk at the bf16 rounding class (CPU test
+# test_bwd_rows_bf16_grads_within_budget; on-chip parity suite PASS at the
+# flipped defaults, docs/NOTES_ROUND5.md).
+BWD_ROWS_BF16 = True
 
 # Backward walk order. "fwd" (legacy): re-walk segments front-to-back with
 # the suffix identity r_after = R_total - S_{<=k}; the large-total

@@ -31,11 +31,18 @@ V5E_HZ = 940e6  # v5e clock (TensorCore), for cycles -> ms
 
 
 def build_lowered(data: int, tile: int, capacity: int, gauss: int,
-                  width: int, height: int, flow: bool):
+                  width: int, height: int, flow: bool,
+                  zero1: bool = False, grad_dtype: str | None = None,
+                  force_cpu_backend: bool = False):
     import dataclasses as dc
     import importlib.util
 
     import jax
+
+    if force_cpu_backend:
+        # AOT topology compiles don't need devices; keep the default backend
+        # on CPU so this can run while another process holds the chip.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import topologies
@@ -63,7 +70,7 @@ def build_lowered(data: int, tile: int, capacity: int, gauss: int,
     step_fn = make_parallel_train_step(
         cfg, DensifyConfig(), optimizers, deform.apply,
         num_train_data=data, mesh=mesh, image_hw=(height, width),
-        with_flow=flow,
+        with_flow=flow, zero1=zero1, grad_reduce_dtype=grad_dtype,
     )
 
     def abstract(tree, pspec):
@@ -121,9 +128,13 @@ def _bytes_of(line: str) -> int:
 
 
 def analyze(hlo: str):
-    """Walk each computation in schedule order; for every collective
-    -start, sum estimated_cycles of ops until its -done."""
+    """Walk each computation in schedule order. For every collective -start,
+    sum estimated_cycles of ops until its -done (the async overlap window).
+    Collectives WITHOUT a start/done pair lower synchronously — their bytes
+    are the serial window SCALING.md models (VERDICT r4 #2). Returns
+    (async_pairs, sync_ops)."""
     pairs = []
+    sync_ops = []
     open_windows = {}  # start op name -> [kind, bytes, cycles accumulated]
     for line in hlo.splitlines():
         m = re.match(r"^\s*(?:ROOT )?%([\w.\-]+) = ", line)
@@ -131,12 +142,15 @@ def analyze(hlo: str):
             continue
         name = m.group(1)
         kind = None
+        sync_kind = None
         for k in ("all-reduce", "all-gather", "reduce-scatter",
                   "collective-permute"):
             if f" {k}-start(" in line:
                 kind = f"{k}-start"
             elif f" {k}-done(" in line:
                 kind = f"{k}-done"
+            elif f" {k}(" in line:
+                sync_kind = k
         if kind and kind.endswith("-start"):
             open_windows[name] = [kind[:-6], _bytes_of(line), 0.0, 0]
         elif kind and kind.endswith("-done"):
@@ -150,13 +164,16 @@ def analyze(hlo: str):
                          overlap_ms=round(cyc / V5E_HZ * 1e3, 3))
                 )
         else:
+            if sync_kind is not None:
+                sync_ops.append(dict(op=sync_kind, name=name,
+                                     bytes=_bytes_of(line)))
             cm = _CYCLES.search(line)
             if cm and open_windows:
                 c = int(cm.group(1))
                 for w in open_windows.values():
                     w[2] += c
                     w[3] += 1
-    return pairs
+    return pairs, sync_ops
 
 
 def main():
@@ -169,29 +186,46 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--flow", action="store_true", default=True)
     ap.add_argument("--no-flow", dest="flow", action="store_false")
+    ap.add_argument("--zero1", action="store_true")
+    ap.add_argument("--grad-dtype", default=None,
+                    help="bfloat16 for the bf16 wire-leg reduction")
+    ap.add_argument("--cpu-backend", action="store_true",
+                    help="keep the default jax backend on CPU (AOT compile "
+                         "needs no devices; lets this run beside a chip job)")
     ap.add_argument("--dump", default="/tmp/sharded_step_v5e.hlo")
     args = ap.parse_args()
 
     lowered = build_lowered(args.data, args.tile, args.capacity, args.gauss,
-                            args.width, args.height, args.flow)
+                            args.width, args.height, args.flow,
+                            zero1=args.zero1, grad_dtype=args.grad_dtype,
+                            force_cpu_backend=args.cpu_backend)
     print("compiling (TPU AOT)...", file=sys.stderr)
     hlo = lowered.compile().as_text()
     if args.dump:
         Path(args.dump).write_text(hlo)
-    pairs = analyze(hlo)
+    pairs, sync_ops = analyze(hlo)
     pairs.sort(key=lambda p: -p["bytes"])
+    sync_ops.sort(key=lambda p: -p["bytes"])
     async_bytes = sum(p["bytes"] for p in pairs)
     overlap_ms = sum(p["overlap_ms"] for p in pairs)
+    sync_bytes = sum(p["bytes"] for p in sync_ops)
     for p in pairs[:12]:
+        print(json.dumps(p))
+    for p in sync_ops[:12]:
         print(json.dumps(p))
     print(json.dumps({
         "metric": "async_collective_overlap",
         "pairs": len(pairs),
         "async_bytes_total": async_bytes,
         "overlap_ms_total": round(overlap_ms, 3),
+        "sync_ops": len(sync_ops),
+        "sync_bytes_total": sync_bytes,
         "mesh": f"data{args.data}xtile{args.tile}",
-        "note": "cycles of compute scheduled inside start..done windows of "
-                "the v5e:2x4 AOT-compiled step; clock 940 MHz",
+        "zero1": args.zero1,
+        "grad_dtype": args.grad_dtype,
+        "note": "async = cycles of compute inside start..done windows; "
+                "sync_bytes = collectives lowered WITHOUT start/done (the "
+                "serial window). v5e:2x4 AOT; clock 940 MHz",
     }))
 
 

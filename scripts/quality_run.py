@@ -443,56 +443,158 @@ def main():
         )
 
         # ---- multi-attribute isolation: moving attr j must not move other
-        # parts' pixels (VERDICT r3 item 4). Per-attribute |delta| maps
-        # against the GT per-part pixel regions of the sweep frame --------
+        # parts' pixels (VERDICT r3 item 4 / r4 #3). Per-attribute |delta|
+        # maps against the GT per-part pixel regions of the sweep frame.
+        # Round-5 instrumentation (VERDICT r4 #3 root-cause ask): mask
+        # overlap counts, trained control-state manifold per attribute,
+        # drives along each attribute's TRAINED direction (the x-axis drive
+        # is off-manifold for parts whose articulation displaces in y/z),
+        # and a shared-Gaussian ablation (exclusive mask re-measure).
         xtalk_lines = []
         if m_attr >= 2:
             masks0 = _np.load(root / "mask" / "0000.npy")  # (S, S, P+1) bool
             n_reg = min(m_attr, masks0.shape[-1] - 1)  # last ch = background
-            dmaps = []
+
+            mask_np = _np.asarray(t2.gaussian_mask)
+            n_voted = mask_np.any(-1).sum()
+            n_shared = int((mask_np.sum(-1) > 1).sum())
+            per_attr_n = mask_np.sum(0)
+            print(
+                f"mask: {int(n_voted)} voted, per-attr {per_attr_n.tolist()}, "
+                f"SHARED rows (>1 attr): {n_shared} "
+                f"({n_shared / max(int(n_voted), 1):.1%})",
+                flush=True,
+            )
+
+            # trained control-state manifold: d_avg(t) over the capture
+            from freegaussian_tpu.models.control_model import (
+                control_state_from_deform,
+            )
+
+            t0 = t2.init_time
+            times = _np.linspace(0.0, 1.0, 17).astype(_np.float32)
+            traj = _np.stack(
+                [
+                    _np.asarray(
+                        control_state_from_deform(
+                            t2.deform_apply, t2.state.deform_vars,
+                            t2.state.params["means"], t2.gaussian_mask,
+                            _jnp.asarray(t0), _jnp.asarray(tt),
+                            alive=t2.state.alive,
+                        )
+                    )
+                    for tt in times
+                ]
+            )  # (T, M, 3)
+            drive_dirs = []
             for j in range(m_attr):
-                vp = _np.zeros((m_attr, 3), _np.float32)
-                vm = _np.zeros((m_attr, 3), _np.float32)
-                vp[j, 0] = 0.1
-                vm[j, 0] = -0.1
-                rp = _np.asarray(
-                    t2.render_with_control(cam, _jnp.asarray(vp))["rgb"]
+                norms = _np.linalg.norm(traj[:, j], axis=-1)
+                k = int(norms.argmax())
+                d = traj[k, j] / max(norms[k], 1e-9)
+                drive_dirs.append(d.astype(_np.float32))
+                print(
+                    f"attr {j} control-state: |d_avg| max {norms.max():.4f} "
+                    f"mean {norms.mean():.4f}; trained dir {d.round(3).tolist()}; "
+                    f"x-component share {abs(d[0]):.2f}",
+                    flush=True,
                 )
-                rm = _np.asarray(
-                    t2.render_with_control(cam, _jnp.asarray(vm))["rgb"]
+
+            def crosstalk(drives, tag):
+                """drives[j] = (3,) unit direction for attr j; renders the
+                +-0.1*dir pair per attribute and integrates |delta| over the
+                GT part regions."""
+                xt = _np.zeros((m_attr, n_reg))
+                for j in range(m_attr):
+                    vp = _np.zeros((m_attr, 3), _np.float32)
+                    vm = _np.zeros((m_attr, 3), _np.float32)
+                    vp[j] = 0.1 * drives[j]
+                    vm[j] = -0.1 * drives[j]
+                    rp = _np.asarray(
+                        t2.render_with_control(cam, _jnp.asarray(vp))["rgb"]
+                    )
+                    rm = _np.asarray(
+                        t2.render_with_control(cam, _jnp.asarray(vm))["rgb"]
+                    )
+                    d = _np.abs(rp - rm).max(-1)
+                    imageio.imwrite(
+                        sweep_dir / f"attr{j}_delta_{tag}.png",
+                        (_np.clip(d * 5, 0, 1) * 255).astype(_np.uint8),
+                    )
+                    for r in range(n_reg):
+                        reg = masks0[..., r].astype(bool)
+                        xt[j, r] = float(d[reg].mean()) if reg.any() else 0.0
+                print(f"cross-talk [{tag}]:\n", xt, flush=True)
+                return xt
+
+            x_dirs = [
+                _np.array([1.0, 0, 0], _np.float32) for _ in range(m_attr)
+            ]
+            xt_x = crosstalk(x_dirs, "xaxis")
+            xt_tr = crosstalk(drive_dirs, "trained")
+
+            # shared-Gaussian ablation: zero multi-attribute rows and
+            # re-measure (no retraining; render caches key on mask identity)
+            xt_ex = None
+            if n_shared:
+                full_mask = t2.gaussian_mask
+                t2.gaussian_mask = _jnp.asarray(
+                    mask_np & (mask_np.sum(-1, keepdims=True) == 1)
                 )
-                d = _np.abs(rp - rm).max(-1)
-                dmaps.append(d)
-                imageio.imwrite(
-                    sweep_dir / f"attr{j}_delta.png",
-                    (_np.clip(d * 5, 0, 1) * 255).astype(_np.uint8),
-                )
-            xt = _np.zeros((m_attr, n_reg))
-            for j, d in enumerate(dmaps):
-                for r in range(n_reg):
-                    reg = masks0[..., r].astype(bool)
-                    xt[j, r] = float(d[reg].mean()) if reg.any() else 0.0
+                xt_ex = crosstalk(drive_dirs, "exclusive")
+                t2.gaussian_mask = full_mask
+
+            def iso_rows(xt):
+                rows = []
+                for j in range(m_attr):
+                    off = [xt[j, r] for r in range(n_reg) if r != j]
+                    iso = (
+                        xt[j, j] / max(max(off), 1e-9)
+                        if off and j < n_reg
+                        else float("nan")
+                    )
+                    rows.append((xt[j], iso))
+                return rows
+
             xtalk_lines = [
                 "",
                 "### Multi-attribute isolation (cross-talk)",
                 "",
+                f"Cluster mask: {int(n_voted)} voted Gaussians, per-attribute "
+                f"{[int(v) for v in per_attr_n]}, **{n_shared} shared** "
+                f"(voted into >1 attribute, "
+                f"{n_shared / max(int(n_voted), 1):.1%}).",
+                "",
+                "Per-attribute trained control state (d_avg over the "
+                "capture): "
+                + "; ".join(
+                    f"attr {j} dir {drive_dirs[j].round(2).tolist()}"
+                    for j in range(m_attr)
+                ),
+                "",
                 "mean |delta| of attr-j's slider sweep inside part-r's GT "
                 "pixel region (rows = driven attribute, cols = region):",
                 "",
-                "| attr \\ region | " + " | ".join(
-                    f"part {r}" for r in range(n_reg)
-                ) + " | isolation |",
-                "|---" * (n_reg + 2) + "|",
             ]
-            for j in range(m_attr):
-                off = [xt[j, r] for r in range(n_reg) if r != j]
-                iso = xt[j, j] / max(max(off), 1e-9) if off and j < n_reg else float("nan")
-                xtalk_lines.append(
-                    f"| attr {j} | "
-                    + " | ".join(f"{xt[j, r]:.4f}" for r in range(n_reg))
-                    + f" | {iso:.1f}x |"
-                )
-            print("cross-talk matrix:\n", xt, flush=True)
+            for tag, xt in (
+                ("x-axis drive (legacy, off-manifold for y/z parts)", xt_x),
+                ("trained-direction drive", xt_tr),
+            ) + ((("trained drive, shared rows removed", xt_ex),) if xt_ex is not None else ()):
+                xtalk_lines += [
+                    f"**{tag}:**",
+                    "",
+                    "| attr \\ region | "
+                    + " | ".join(f"part {r}" for r in range(n_reg))
+                    + " | isolation |",
+                    "|---" * (n_reg + 2) + "|",
+                ]
+                for j, (row, iso) in enumerate(iso_rows(xt)):
+                    xtalk_lines.append(
+                        f"| attr {j} | "
+                        + " | ".join(f"{row[r]:.4f}" for r in range(n_reg))
+                        + f" | {iso:.1f}x |"
+                    )
+                xtalk_lines.append("")
+            xt = xt_tr
         lines += [
             "",
             "## Stage-2 control-model run (same scene)",
