@@ -160,11 +160,13 @@ PACKED_ROW_MAJOR = True
 # gradients already carry the termination-flip budget, and Adam normalizes
 # magnitudes. Requires the merged pixel-stage VJP (_rasterize_rows), whose
 # internal cotangents are free of the custom_vjp dtype contract.
-# Default True since r5: +0.53M px/s alone (19.01M), 19.14M with
-# PACKED_ROW_MAJOR; grads bulk at the bf16 rounding class (CPU test
-# test_bwd_rows_bf16_grads_within_budget; on-chip parity suite PASS at the
-# flipped defaults, docs/NOTES_ROUND5.md).
-BWD_ROWS_BF16 = True
+# Measured +0.5M px/s (19.14M with PACKED_ROW_MAJOR) but the on-chip
+# parity suite FAILS at it (means2d bad 44/6000, conics 116/9000 vs 0-3 on
+# the f32 path — bf16 rounding of per-intersection cotangents is a class
+# beyond the termination-flip budget), so the default stays False: the
+# BASELINE contract is gsplat-class f32 gradients. Knob retained for
+# deployments that trade grad parity for throughput.
+BWD_ROWS_BF16 = False
 
 # Backward walk order. "fwd" (legacy): re-walk segments front-to-back with
 # the suffix identity r_after = R_total - S_{<=k}; the large-total

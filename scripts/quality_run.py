@@ -242,6 +242,21 @@ def main():
         help="force the CPU backend (the axon sitecustomize ignores "
         "JAX_PLATFORMS; this must be set before first jax use)",
     )
+    ap.add_argument(
+        "--gt-gauss", type=int, default=600,
+        help="GT ellipsoids in the generated scene (raise for high-res "
+        "scenes so densification has detail to chase)",
+    )
+    ap.add_argument(
+        "--no-flow", action="store_true",
+        help="diagnostic arm: flow-derivative losses off (isolates whether "
+        "the late-training PSNR slide is flow-loss interference)",
+    )
+    ap.add_argument(
+        "--no-post-cull", action="store_true",
+        help="diagnostic arm: continue_cull_post_densification=False "
+        "(isolates whether post-stop-split culling drives the PSNR slide)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -253,7 +268,8 @@ def main():
     if not (root / "transforms.json").exists():
         print("generating scene...", flush=True)
         make_scene(
-            root, n_frames=args.frames, size=args.size, n_parts=args.parts
+            root, n_frames=args.frames, size=args.size, n_parts=args.parts,
+            n_gauss=args.gt_gauss,
         )
 
     import dataclasses as dc
@@ -300,6 +316,20 @@ def main():
                 cfg.densify, stop_split_at=max(args.steps - 200, 1)
             ),
             optimizers=dc.replace(cfg.optimizers, max_steps=args.steps),
+        )
+    if args.no_flow:
+        cfg = dc.replace(
+            cfg,
+            splat=dc.replace(
+                cfg.splat, flow_loss_weight=0.0, flow_3d_loss_weight=0.0
+            ),
+        )
+    if args.no_post_cull:
+        cfg = dc.replace(
+            cfg,
+            densify=dc.replace(
+                cfg.densify, continue_cull_post_densification=False
+            ),
         )
     print("building trainer...", flush=True)
     t = Trainer(cfg)
@@ -617,6 +647,26 @@ def main():
             f"(PNGs: {sweep_dir})",
         ]
         lines += xtalk_lines
+
+    if args.stage2_steps:
+        # keep the shipped web-viewer demo tracking the latest trained scene
+        # (VERDICT r4 #8): export the stage-2 model WITH the cluster-group
+        # `atrb` column next to the report, and refresh the docs demo when
+        # writing the canonical docs/ report
+        from freegaussian_tpu.data.splat_export import export_splat_ply
+
+        demo = root / "scene_trained.ply"
+        n_exp = export_splat_ply(
+            demo, t2.state.params, t2.state.alive, gaussian_mask=t2.gaussian_mask
+        )
+        print(f"exported {n_exp} splats -> {demo}", flush=True)
+        if str(args.report).startswith("docs/"):
+            import shutil
+
+            dst = Path("docs/assets/quality_r5")
+            dst.mkdir(parents=True, exist_ok=True)
+            shutil.copy(demo, dst / "scene_trained.ply")
+            print(f"viewer demo refreshed: {dst / 'scene_trained.ply'}", flush=True)
 
     report = Path(args.report)
     report.write_text("\n".join(lines))

@@ -320,7 +320,7 @@ def run_evalperf():
         SplatConfig, forward, make_deform_apply, make_deform_field,
     )
 
-    n_gauss, width, height = 100_000, 640, 480
+    n_gauss = 100_000
     rng = np.random.default_rng(0)
     seed_xyz = rng.normal(scale=1.0, size=(n_gauss, 3)).astype(np.float32)
     seed_rgb = rng.uniform(0, 255, size=(n_gauss, 3)).astype(np.float32)
@@ -333,22 +333,33 @@ def run_evalperf():
     deform_apply = make_deform_apply(cfg, deform)
     dvars = deform.init(jax.random.PRNGKey(1), jnp.zeros((1, 3)), jnp.zeros((1, 1)))
     c2w = np.eye(4, dtype=np.float32); c2w[2, 3] = 6.0
-    camera = Camera(
-        c2w=jnp.asarray(c2w[:3]), fx=jnp.asarray(500.0), fy=jnp.asarray(500.0),
-        cx=jnp.asarray(width / 2.0), cy=jnp.asarray(height / 2.0),
-        time=jnp.asarray(0.5), width=width, height=height,
-    )
 
-    def render(t):
-        out = forward(
-            cfg, params, alive, camera.replace(time=t),
-            deform_variables=dvars, deform_apply=deform_apply,
-            sh_degree_now=3, warmed_up=jnp.asarray(True), train=False,
+    # bench leg (2x-downscale CoNeRF point) + native CoNeRF capture res;
+    # focal scales with width so the scene is identical (VERDICT r4 #8)
+    for width, height in ((640, 480), (1296, 968)):
+        focal = 500.0 * width / 640.0
+        camera = Camera(
+            c2w=jnp.asarray(c2w[:3]), fx=jnp.asarray(focal), fy=jnp.asarray(focal),
+            cx=jnp.asarray(width / 2.0), cy=jnp.asarray(height / 2.0),
+            time=jnp.asarray(0.5), width=width, height=height,
         )
-        return out["rgb"]
 
-    dt = bench_fn("eval render fwd", render, [jnp.asarray(0.5)], iters=30)
-    log(f"eval rays/s: {width * height / dt:.3e}  fps: {1.0 / dt:.1f}")
+        def render(t, camera=camera):
+            out = forward(
+                cfg, params, alive, camera.replace(time=t),
+                deform_variables=dvars, deform_apply=deform_apply,
+                sh_degree_now=3, warmed_up=jnp.asarray(True), train=False,
+            )
+            return out["rgb"]
+
+        dt = bench_fn(
+            f"eval render fwd {width}x{height}", render, [jnp.asarray(0.5)],
+            iters=30,
+        )
+        log(
+            f"eval {width}x{height} rays/s: {width * height / dt:.3e}  "
+            f"fps: {1.0 / dt:.1f}"
+        )
 
 
 def run_mlp():
