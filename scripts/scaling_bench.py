@@ -55,6 +55,10 @@ def main():
         "the full per-Gaussian stage (no reshard collectives). The delta "
         "is the reshard's structural cost (VERDICT r2 #5).",
     )
+    ap.add_argument("--zero1", action="store_true",
+                    help="ZeRO-1 sharded optimizer in the sharded step")
+    ap.add_argument("--grad-dtype", default=None,
+                    help="bfloat16 for the bf16 wire-leg gradient reduction")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -104,6 +108,8 @@ def main():
             image_hw=(H, W),
             with_refine=False,
             primitive_sharding=primitive_sharding,
+            zero1=args.zero1,
+            grad_reduce_dtype=args.grad_dtype,
         )
         state = replicate_state(state, mesh)
         cams = stack_cameras(
