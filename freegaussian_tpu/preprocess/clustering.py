@@ -100,17 +100,29 @@ def cluster_gaussians(
     backend: str = "auto",
     mask_valids: Optional[Dict[int, np.ndarray]] = None,
     drop_background: bool = True,
+    exclusive: bool = False,
 ) -> jax.Array:
-    """OR-accumulate votes over all key frames -> gaussian_mask (N, M).
+    """Accumulate votes over all key frames -> gaussian_mask (N, M).
 
     Annotation masks carry the attributes at channels [0, M) and the
     BACKGROUND at the last channel (ref load_*_annotations builds
     (H, W, M+1) with `mask_labels[..., -1]` = background); the vote uses
     only the attribute channels, gated per frame by `mask_valids`
     (knn_gaussian.py:128: ``atrb_masks[..., :-1] & mask_valids[..., :-1]``).
-    Pass drop_background=False for masks that carry no background channel."""
+    Pass drop_background=False for masks that carry no background channel.
+
+    `exclusive=False` (default) reproduces the reference's boolean
+    `|=` voting (knn_gaussian.py:127-132), which lets a Gaussian belong to
+    SEVERAL attributes when its projected center crosses different part
+    masks over the key frames. Those shared rows are a measured control
+    cross-talk channel: on the round-5 3-part scene, 7% of voted rows were
+    shared and removing them collapsed the worst leakage term 8.5x
+    (docs/QUALITY_R5_3PART.md ablation). `exclusive=True` keeps the same
+    per-frame votes but assigns each Gaussian only its MOST-voted attribute
+    (vote-count argmax) — strictly a relabeling of the reference's vote
+    evidence, no new information used."""
     n = params["means"].shape[0]
-    mask = None
+    counts = None
     for idx, atrb in key_frames.items():
         atrb = jnp.asarray(atrb)
         if drop_background:
@@ -135,11 +147,18 @@ def cluster_gaussians(
             deform_apply=deform_apply if dynamic else None,
             deform_vars=deform_vars if dynamic else None,
             backend=backend,
+        ).astype(jnp.int32)
+        counts = votes if counts is None else (counts + votes)
+    if counts is None:
+        return jnp.zeros((n, 0), bool)
+    if exclusive:
+        winner = jnp.argmax(counts, axis=-1)
+        m = counts.shape[1]
+        return (
+            jax.nn.one_hot(winner, m, dtype=jnp.int32).astype(bool)
+            & (jnp.max(counts, axis=-1, keepdims=True) > 0)
         )
-        mask = votes if mask is None else (mask | votes)
-    if mask is None:
-        mask = jnp.zeros((n, 0), bool)
-    return mask
+    return counts > 0  # == the reference's boolean OR accumulation
 
 
 def save_gaussian_mask(path: Path, mask: jax.Array, alive: jax.Array) -> None:

@@ -257,6 +257,12 @@ def main():
         help="diagnostic arm: continue_cull_post_densification=False "
         "(isolates whether post-stop-split culling drives the PSNR slide)",
     )
+    ap.add_argument(
+        "--ref-cluster-votes", action="store_true",
+        help="reference-faithful boolean |= clustering votes (default: "
+        "vote-count exclusive assignment, which removes the shared-row "
+        "cross-talk channel — see preprocess/clustering.py)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -411,7 +417,7 @@ def main():
         mask = cluster_gaussians(
             t.state.params, t.state.alive, key_frames, cams,
             deform_apply=t.deform_apply, deform_vars=t.state.deform_vars,
-            dynamic=True,
+            dynamic=True, exclusive=not args.ref_cluster_votes,
         )
         n_live = int(_np.asarray(t.state.alive).sum())
         mask_path = root / f"gaussian_mask_{n_live}x{mask.shape[1]}.npy"
@@ -529,10 +535,26 @@ def main():
                     flush=True,
                 )
 
-            def crosstalk(drives, tag):
+            def _dilate(m, r):
+                """binary dilation by a (2r+1)-square via shifted ORs."""
+                out = m.copy()
+                for dy in range(-r, r + 1):
+                    for dx in range(-r, r + 1):
+                        out |= _np.roll(
+                            _np.roll(m, dy, axis=0), dx, axis=1
+                        )
+                return out
+
+            adj_r = max(args.size // 32, 2)
+
+            def crosstalk(drives, tag, adjacency_excluded=False):
                 """drives[j] = (3,) unit direction for attr j; renders the
                 +-0.1*dir pair per attribute and integrates |delta| over the
-                GT part regions."""
+                GT part regions. `adjacency_excluded` removes pixels within
+                `adj_r` px of the DRIVEN part's own region from the
+                off-diagonal cells: a moving part's silhouette legitimately
+                sweeps through abutting regions (dis-occlusion), which is
+                screen adjacency, not control leakage."""
                 xt = _np.zeros((m_attr, n_reg))
                 for j in range(m_attr):
                     vp = _np.zeros((m_attr, 3), _np.float32)
@@ -550,8 +572,15 @@ def main():
                         sweep_dir / f"attr{j}_delta_{tag}.png",
                         (_np.clip(d * 5, 0, 1) * 255).astype(_np.uint8),
                     )
+                    own_halo = (
+                        _dilate(masks0[..., j].astype(bool), adj_r)
+                        if adjacency_excluded and j < n_reg
+                        else None
+                    )
                     for r in range(n_reg):
                         reg = masks0[..., r].astype(bool)
+                        if own_halo is not None and r != j:
+                            reg = reg & ~own_halo
                         xt[j, r] = float(d[reg].mean()) if reg.any() else 0.0
                 print(f"cross-talk [{tag}]:\n", xt, flush=True)
                 return xt
@@ -561,6 +590,9 @@ def main():
             ]
             xt_x = crosstalk(x_dirs, "xaxis")
             xt_tr = crosstalk(drive_dirs, "trained")
+            xt_adj = crosstalk(
+                drive_dirs, "trained_adjexcl", adjacency_excluded=True
+            )
 
             # shared-Gaussian ablation: zero multi-attribute rows and
             # re-measure (no retraining; render caches key on mask identity)
@@ -608,6 +640,11 @@ def main():
             for tag, xt in (
                 ("x-axis drive (legacy, off-manifold for y/z parts)", xt_x),
                 ("trained-direction drive", xt_tr),
+                (
+                    f"trained drive, adjacency-excluded (off-diagonal "
+                    f"regions minus {adj_r}px halo of the driven part)",
+                    xt_adj,
+                ),
             ) + ((("trained drive, shared rows removed", xt_ex),) if xt_ex is not None else ()):
                 xtalk_lines += [
                     f"**{tag}:**",

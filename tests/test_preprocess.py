@@ -145,6 +145,27 @@ def test_cluster_gaussians_votes(tmp_path):
     loaded = load_gaussian_mask(tmp_path / "gm.npy", capacity, alive)
     np.testing.assert_array_equal(np.asarray(loaded), m)
 
+    # exclusive (vote-count argmax) assignment: a Gaussian voted into both
+    # attributes over two frames keeps only its most-voted one; singly-voted
+    # rows are unchanged vs the reference's boolean OR
+    atrb2 = np.zeros((32, 32, 3), bool)
+    atrb2[:, :, 1] = True  # frame 2: EVERYTHING labeled attr 1
+    atrb2[..., 2] = False
+    frames = {0: jnp.asarray(atrb), 1: jnp.asarray(atrb2)}
+    cams = {0: cfg, 1: cfg}
+    m_or = np.asarray(cluster_gaussians(
+        params, alive, frames, cams, backend="reference"
+    ))
+    m_ex = np.asarray(cluster_gaussians(
+        params, alive, frames, cams, backend="reference", exclusive=True
+    ))
+    assert m_or[0].all()  # OR voting: left gaussian shared across attrs
+    assert m_ex.sum(-1).max() <= 1  # exclusive: one attribute per row
+    # right gaussian voted attr 1 in both frames -> stays attr 1
+    assert m_ex[1, 1] and not m_ex[1, 0]
+    # every OR-voted row is still voted (relabeled, never dropped)
+    np.testing.assert_array_equal(m_ex.any(-1), m_or.any(-1))
+
 
 def test_render_offline(tmp_path):
     from freegaussian_tpu.models.splat_model import SplatConfig
