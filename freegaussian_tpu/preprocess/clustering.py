@@ -101,6 +101,8 @@ def cluster_gaussians(
     mask_valids: Optional[Dict[int, np.ndarray]] = None,
     drop_background: bool = True,
     exclusive: bool = False,
+    depth_low: float = -0.1,
+    depth_high: float = 1.0,
 ) -> jax.Array:
     """Accumulate votes over all key frames -> gaussian_mask (N, M).
 
@@ -147,6 +149,8 @@ def cluster_gaussians(
             deform_apply=deform_apply if dynamic else None,
             deform_vars=deform_vars if dynamic else None,
             backend=backend,
+            depth_low=depth_low,
+            depth_high=depth_high,
         ).astype(jnp.int32)
         counts = votes if counts is None else (counts + votes)
     if counts is None:

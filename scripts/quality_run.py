@@ -361,7 +361,8 @@ def main():
     train_rows = [r for r in rows if "eval" not in r]
     eval_rows = [r for r in rows if r.get("eval") == "all"]
     lines = [
-        "# Round-2 quality evidence: articulated-scene training run",
+        (f"# Quality evidence ({Path(args.report).stem}): "
+        "articulated-scene training run"),
         "",
         f"Generated articulated scene ({args.frames} frames, {args.size}px, "
         "static body + hinged rotating part), full stage-1 pipeline via "
