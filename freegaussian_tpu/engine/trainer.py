@@ -591,21 +591,30 @@ class Trainer:
         if cached is not None:
             return cached
         cam_b, cam0_b, data = self._device_dataset(d)
+        use0 = cam0_b is not None
 
-        def chunk(state, idxs):
+        # The dataset arrays are jit ARGUMENTS, not closure captures: a
+        # closure capture becomes an inline CONSTANT of the lowered program,
+        # and at 640px the image/flow/depth stacks are hundreds of MB —
+        # the serialized compile request then exceeds the remote-compile
+        # service's body limit (HTTP 413, round-5 640px quality run).
+        # Device-resident args are passed by reference at each call.
+        def chunk(state, idxs, cam_b, cam0_b, data):
             def body(st, i):
                 camera = jax.tree.map(lambda a: a[i], cam_b)
                 camera0 = (
-                    jax.tree.map(lambda a: a[i], cam0_b)
-                    if cam0_b is not None
-                    else None
+                    jax.tree.map(lambda a: a[i], cam0_b) if use0 else None
                 )
                 batch = {k: v[i] for k, v in data.items()}
                 return self._scan_body(st, camera, batch, sh_deg, camera0, i)
 
             return jax.lax.scan(body, state, idxs)
 
-        fn = jax.jit(chunk)
+        jitted = jax.jit(chunk)
+
+        def fn(state, idxs):
+            return jitted(state, idxs, cam_b, cam0_b if use0 else None, data)
+
         self._scan_fn_cache[key] = fn
         return fn
 

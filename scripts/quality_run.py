@@ -263,6 +263,15 @@ def main():
         "vote-count exclusive assignment, which removes the shared-row "
         "cross-talk channel — see preprocess/clustering.py)",
     )
+    ap.add_argument(
+        "--cluster-depth-window", type=float, nargs=2, default=(-0.05, 0.05),
+        metavar=("LOW", "HIGH"),
+        help="clustering depth-consistency window as fractions of the "
+        "Gaussian depth (reference: -0.1 1.0 — that +1.0d admits Gaussians "
+        "up to twice the surface depth, which votes OCCLUDED neighbors into "
+        "attributes; the round-5 eval-time sweep measured attr-2 isolation "
+        "11x at the reference window vs 756x at +-0.05d)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -419,6 +428,8 @@ def main():
             t.state.params, t.state.alive, key_frames, cams,
             deform_apply=t.deform_apply, deform_vars=t.state.deform_vars,
             dynamic=True, exclusive=not args.ref_cluster_votes,
+            depth_low=args.cluster_depth_window[0],
+            depth_high=args.cluster_depth_window[1],
         )
         n_live = int(_np.asarray(t.state.alive).sum())
         mask_path = root / f"gaussian_mask_{n_live}x{mask.shape[1]}.npy"
