@@ -119,6 +119,19 @@ def main(argv=None):
     sp.add_argument("--scene", default="", help="scene name in key_frames.yaml")
     sp.add_argument("--dynamic", action="store_true", help="deform to frame times")
     sp.add_argument("--out", default="")
+    sp.add_argument(
+        "--exclusive", action="store_true",
+        help="vote-count argmax assignment (one attribute per Gaussian) "
+        "instead of the reference's boolean OR — removes the shared-row "
+        "control cross-talk channel (docs/QUALITY_R5_3PART.md)",
+    )
+    sp.add_argument(
+        "--depth-window", type=float, nargs=2, default=(-0.1, 1.0),
+        metavar=("LOW", "HIGH"),
+        help="depth-consistency window as fractions of the Gaussian depth "
+        "(default = the reference's -0.1 1.0, knn_gaussian.py:116-124; "
+        "tighter windows exclude occluded Gaussians from the vote)",
+    )
 
     args = p.parse_args(argv)
 
@@ -307,6 +320,9 @@ def main(argv=None):
             deform_vars=trainer.state.deform_vars if args.dynamic else None,
             dynamic=args.dynamic,
             mask_valids=valids or None,
+            exclusive=args.exclusive,
+            depth_low=args.depth_window[0],
+            depth_high=args.depth_window[1],
         )
         m = mask.shape[1]
         n_live = int(np.asarray(trainer.state.alive).sum())
