@@ -103,6 +103,7 @@ def cluster_gaussians(
     exclusive: bool = False,
     depth_low: float = -0.1,
     depth_high: float = 1.0,
+    min_vote_frac: float = 0.0,
 ) -> jax.Array:
     """Accumulate votes over all key frames -> gaussian_mask (N, M).
 
@@ -122,7 +123,15 @@ def cluster_gaussians(
     (docs/QUALITY_R5_3PART.md ablation). `exclusive=True` keeps the same
     per-frame votes but assigns each Gaussian only its MOST-voted attribute
     (vote-count argmax) — strictly a relabeling of the reference's vote
-    evidence, no new information used."""
+    evidence, no new information used.
+
+    `min_vote_frac`: require the winning attribute to collect votes in at
+    least this fraction of the key frames. A STATIC (body) Gaussian gets
+    grazed by a swinging part for a handful of frames — the part sweeps
+    through its neighborhood and its depth briefly sits inside the
+    consistency window — while true part members vote in most frames they
+    are visible. 0.0 = reference behavior (any single frame's vote
+    suffices)."""
     n = params["means"].shape[0]
     counts = None
     for idx, atrb in key_frames.items():
@@ -155,14 +164,15 @@ def cluster_gaussians(
         counts = votes if counts is None else (counts + votes)
     if counts is None:
         return jnp.zeros((n, 0), bool)
+    min_votes = max(int(np.ceil(min_vote_frac * len(key_frames))), 1)
     if exclusive:
         winner = jnp.argmax(counts, axis=-1)
         m = counts.shape[1]
         return (
             jax.nn.one_hot(winner, m, dtype=jnp.int32).astype(bool)
-            & (jnp.max(counts, axis=-1, keepdims=True) > 0)
+            & (jnp.max(counts, axis=-1, keepdims=True) >= min_votes)
         )
-    return counts > 0  # == the reference's boolean OR accumulation
+    return counts >= min_votes  # min_votes=1 == the reference's boolean OR
 
 
 def save_gaussian_mask(path: Path, mask: jax.Array, alive: jax.Array) -> None:
