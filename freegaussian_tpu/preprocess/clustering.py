@@ -43,8 +43,16 @@ def vote_gaussian_masks_one_frame(
     backend: str = "auto",
     depth_low: float = -0.1,
     depth_high: float = 1.0,
+    min_alpha: float = 0.0,
 ) -> jax.Array:
-    """Returns (N, M) bool votes for one key frame."""
+    """Returns (N, M) bool votes for one key frame.
+
+    `min_alpha`: additionally require the Gaussian's center pixel to have
+    accumulated alpha above this value. The depth-consistency test divides
+    by alpha (expected depth = accum / alpha), so at near-transparent
+    pixels (part silhouette edges, background grazings) d_pix is
+    ill-conditioned and votes there flip with backend-level ulps. 0.0 =
+    reference behavior (no gate, knn_gaussian.py:116-124)."""
     means = params["means"]
     scales = jnp.exp(params["scales"])
     quats = params["quats"]
@@ -83,6 +91,8 @@ def vote_gaussian_masks_one_frame(
     diff = d_pix - d_gauss
     consistent = (diff > depth_low * d_gauss) & (diff < depth_high * d_gauss)
     keep = visible & consistent
+    if min_alpha > 0.0:
+        keep &= alpha_img[0, yi, xi, 0] > min_alpha
 
     votes = atrb_mask[yi, xi]  # (N, M)
     return votes & keep[:, None]
@@ -104,6 +114,7 @@ def cluster_gaussians(
     depth_low: float = -0.1,
     depth_high: float = 1.0,
     min_vote_frac: float = 0.0,
+    min_alpha: float = 0.0,
 ) -> jax.Array:
     """Accumulate votes over all key frames -> gaussian_mask (N, M).
 
@@ -160,6 +171,7 @@ def cluster_gaussians(
             backend=backend,
             depth_low=depth_low,
             depth_high=depth_high,
+            min_alpha=min_alpha,
         ).astype(jnp.int32)
         counts = votes if counts is None else (counts + votes)
     if counts is None:

@@ -272,6 +272,17 @@ def main():
         "attributes; the round-5 eval-time sweep measured attr-2 isolation "
         "11x at the reference window vs 756x at +-0.05d)",
     )
+    ap.add_argument(
+        "--cluster-min-vote-frac", type=float, default=0.25,
+        help="winning attribute must vote in >= this fraction of key frames "
+        "(rejects static Gaussians grazed by a swinging part; 0 = reference)",
+    )
+    ap.add_argument(
+        "--cluster-min-alpha", type=float, default=0.5,
+        help="vote only at pixels with accumulated alpha above this (the "
+        "expected-depth consistency test is ill-conditioned at "
+        "near-transparent pixels; 0 = reference)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -430,6 +441,8 @@ def main():
             dynamic=True, exclusive=not args.ref_cluster_votes,
             depth_low=args.cluster_depth_window[0],
             depth_high=args.cluster_depth_window[1],
+            min_vote_frac=args.cluster_min_vote_frac,
+            min_alpha=args.cluster_min_alpha,
         )
         n_live = int(_np.asarray(t.state.alive).sum())
         mask_path = root / f"gaussian_mask_{n_live}x{mask.shape[1]}.npy"
