@@ -403,6 +403,18 @@ class Trainer:
         self._isect_low_streak = self._isect_low_streak + 1 if low else 0
         if num > 0.85 * cap:
             new_cap = 2 * cap
+            ceiling = self._isect_capacity_ceiling()
+            if new_cap > ceiling:
+                new_cap = ceiling if cap < ceiling else None
+                import warnings
+
+                warnings.warn(
+                    f"intersection capacity clamped at the SMEM-safe "
+                    f"ceiling {ceiling} (measured {int(num)}): the pixel "
+                    "kernels' scalar-prefetch segment tables must fit SMEM. "
+                    "Deepest intersections of the largest Gaussians will be "
+                    "dropped while the scene stays this dense."
+                )
         elif (
             low
             and self._isect_low_streak >= 10  # ~100 steps of stable low
@@ -426,6 +438,20 @@ class Trainer:
             )
             self.config = dataclasses.replace(self.config, splat=splat)
             self._rebuild_step_fn()
+
+    def _isect_capacity_ceiling(self) -> int:
+        """SMEM-safe intersection-capacity ceiling. The pixel kernels
+        scalar-prefetch ~6 i32 segment tables of length
+        s_cap = num_tiles + capacity/chunk + 1 into the ~1 MB SMEM; a
+        640x640 run that self-tuned to ~3.1M pairs blew it (used 1.27M of
+        1.00M, round 5). Budget the tables at ~350 KB and solve for
+        capacity."""
+        cfg = self.config.splat
+        cam = self.datamanager.frames[0].camera
+        ts = cfg.tile_size
+        tiles = -(-cam.width // ts) * (-(-cam.height // ts))
+        s_max = 350_000 // (6 * 4)
+        return max((s_max - tiles - 1) * cfg.chunk, 1 << 15)
 
     def _rebuild_step_fn(self) -> None:
         """(Re)build the jitted train step + the raw body the scan-chunked

@@ -25,7 +25,7 @@ import numpy as np
 
 
 def make_scene(root: Path, n_frames=40, size=128, n_gauss=600, seed=0,
-               n_parts=1):
+               n_parts=1, scale_mul=1.0):
     import imageio.v2 as imageio
     import jax
     import jax.numpy as jnp
@@ -67,9 +67,13 @@ def make_scene(root: Path, n_frames=40, size=128, n_gauss=600, seed=0,
         rng.uniform(0.1, 0.9, (n_part_g, 3)).astype(np.float32)
         for _ in range(n_parts)
     ]
-    scales = np.exp(rng.uniform(np.log(0.02), np.log(0.06), (n_gauss,))).astype(
-        np.float32
-    )
+    # scale_mul: GT blob world sizes were tuned for 128px viewing; at
+    # higher resolutions shrink them so per-pixel splat footprints (and the
+    # tile-intersection workload) stay in the trained-scene class instead
+    # of exploding the isect capacity (round-5 640px SMEM incident)
+    scales = scale_mul * np.exp(
+        rng.uniform(np.log(0.02), np.log(0.06), (n_gauss,))
+    ).astype(np.float32)
     opac = rng.uniform(0.6, 0.95, (n_gauss,)).astype(np.float32)
 
     def _rot(axis, ang):
@@ -242,6 +246,9 @@ def main():
         help="force the CPU backend (the axon sitecustomize ignores "
         "JAX_PLATFORMS; this must be set before first jax use)",
     )
+    ap.add_argument("--gt-scale-mul", type=float, default=1.0,
+                    help="multiply GT Gaussian world sizes (shrink for "
+                    "high-res scenes; see make_scene)")
     ap.add_argument(
         "--gt-gauss", type=int, default=600,
         help="GT ellipsoids in the generated scene (raise for high-res "
@@ -264,7 +271,7 @@ def main():
         "cross-talk channel — see preprocess/clustering.py)",
     )
     ap.add_argument(
-        "--cluster-depth-window", type=float, nargs=2, default=(-0.05, 0.05),
+        "--cluster-depth-window", type=float, nargs=2, default=(-0.1, 0.15),
         metavar=("LOW", "HIGH"),
         help="clustering depth-consistency window as fractions of the "
         "Gaussian depth (reference: -0.1 1.0 — that +1.0d admits Gaussians "
@@ -273,7 +280,7 @@ def main():
         "11x at the reference window vs 756x at +-0.05d)",
     )
     ap.add_argument(
-        "--cluster-min-vote-frac", type=float, default=0.25,
+        "--cluster-min-vote-frac", type=float, default=0.05,
         help="winning attribute must vote in >= this fraction of key frames "
         "(rejects static Gaussians grazed by a swinging part; 0 = reference)",
     )
@@ -295,7 +302,7 @@ def main():
         print("generating scene...", flush=True)
         make_scene(
             root, n_frames=args.frames, size=args.size, n_parts=args.parts,
-            n_gauss=args.gt_gauss,
+            n_gauss=args.gt_gauss, scale_mul=args.gt_scale_mul,
         )
 
     import dataclasses as dc
