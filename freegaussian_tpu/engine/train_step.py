@@ -130,7 +130,14 @@ def make_train_step(
                         outputs["flow"], batch["flow"], outputs["accumulation"]
                     )
                     losses["flow_2d"] = fl
-                    total = total + gate * splat_cfg.flow_loss_weight * fl
+                    w2d = splat_cfg.flow_loss_weight
+                    if splat_cfg.flow_px_ref > 0:
+                        # pixel-unit L1 -> resolution-invariant effective
+                        # weight (see SplatConfig.flow_px_ref)
+                        w2d = w2d * splat_cfg.flow_px_ref / max(
+                            outputs["flow"].shape[0], outputs["flow"].shape[1]
+                        )
+                    total = total + gate * w2d * fl
                 if splat_cfg.flow_3d_loss_weight > 0 and "depth0" in batch:
                     gate = gate * jnp.asarray(
                         batch.get("depth0_valid", 1.0), jnp.float32

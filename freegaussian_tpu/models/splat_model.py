@@ -105,6 +105,17 @@ class SplatConfig:
     # defines the lift ops but never wires a loss — SURVEY §7 (d)).
     flow_loss_weight: float = 0.0  # rendered-2D-flow L1 vs interflow
     flow_3d_loss_weight: float = 0.0  # deform(t0) vs interflow-lifted 3D target
+    # Resolution reference for the 2D flow loss. The loss is an L1 in PIXELS,
+    # so its gradient scale grows linearly with resolution: the 0.01 weight
+    # tuned on 128px scenes is effectively 5x stronger at 640px, which
+    # destabilized the round-5 bench-resolution run (means/scales blown out
+    # until the intersection workload exceeded the SMEM ceiling). When >0 the
+    # effective 2D weight is flow_loss_weight * flow_px_ref / max(H, W) —
+    # identical at max(H, W) == flow_px_ref, resolution-invariant elsewhere.
+    # flow_3d is world-space and needs no normalization. 0 = raw pixel units
+    # (legacy). The reference never wired these losses (SURVEY §2.1), so this
+    # normalization is this repo's definition, set in configs/sim/base.yaml.
+    flow_px_ref: float = 0.0
     # Pallas tuning: chunk = intersections per kernel block; capacity factor
     # bounds intersections at factor * N (overflow drops deepest isects of the
     # largest Gaussians — raise it if isect counts approach the cap).

@@ -258,9 +258,13 @@ def make_parallel_train_step(
                 )  # stop-gradient weights: safe inside grad
                 fl_local = num_local / den
                 losses["flow_2d_local"] = fl_local
-                frame_local = frame_local + (
-                    gate * splat_cfg.flow_loss_weight * fl_local
-                )
+                w2d = splat_cfg.flow_loss_weight
+                if splat_cfg.flow_px_ref > 0:
+                    # resolution-invariant effective weight; must match the
+                    # single-chip path (SplatConfig.flow_px_ref) for the
+                    # tile-parity tests
+                    w2d = w2d * splat_cfg.flow_px_ref / max(H, W)
+                frame_local = frame_local + gate * w2d * fl_local
             if use_flow_3d:
                 from ..ops.flow import flow_supervision_loss, query_3d_gaussian_flow
 

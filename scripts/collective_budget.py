@@ -155,6 +155,10 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--flow", action="store_true", default=True)
     ap.add_argument("--no-flow", dest="flow", action="store_false")
+    ap.add_argument("--zero1", action="store_true",
+                    help="reduce-scatter + data-sharded Adam (ZeRO-1)")
+    ap.add_argument("--grad-dtype", default=None,
+                    help="bfloat16 for the bf16 wire-leg gradient reduction")
     ap.add_argument(
         "--compute-ms", type=float, default=16.4,
         help="measured single-chip device step time at this operating point "
@@ -214,6 +218,8 @@ def main():
         mesh=mesh,
         image_hw=(H, W),
         with_flow=args.flow,
+        zero1=args.zero1,
+        grad_reduce_dtype=args.grad_dtype,
     )
     state = replicate_state(state, mesh)
     cams = stack_cameras(
@@ -263,6 +269,8 @@ def main():
         "value": total,
         "unit": "bytes/chip/step",
         "mesh": f"data{data}xtile{tile}",
+        "zero1": args.zero1,
+        "grad_dtype": args.grad_dtype,
         "per_op_mb": {k: round(v[1] / 1e6, 3) for k, v in per_op.items()},
         "ici_gbps_assumed": args.ici_gbps,
         "collective_ms": round(t_coll_ms, 3),

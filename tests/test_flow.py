@@ -159,3 +159,66 @@ def test_flow_loss_helpers():
 
     rf = rendered_flow_loss(jnp.ones((4, 4, 2)), -jnp.ones((4, 4, 2)), jnp.ones((4, 4, 1)))
     np.testing.assert_allclose(float(rf), 0.0, atol=1e-6)
+
+
+def test_flow_px_ref_resolution_invariance():
+    """flow_px_ref normalizes the 2D flow loss's effective weight by
+    resolution: at max(H, W) == flow_px_ref the total is IDENTICAL to the
+    legacy pixel-unit path, and at 2x the resolution the flow term's
+    contribution to the total halves (round-5 regression: the pixel-unit
+    loss at 640px was 5x the 128px-tuned balance and destabilized training).
+    """
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("t", "tests/test_train_e2e.py")
+    t = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(t)
+    import dataclasses as dc
+
+    from freegaussian_tpu.engine.optimizers import OptimizersConfig
+    from freegaussian_tpu.engine.train_step import make_train_step
+    from freegaussian_tpu.models.densify import DensifyConfig
+    from freegaussian_tpu.models.splat_model import SplatConfig
+
+    def total_for(cfg, width, height):
+        cams = t.make_cameras(n=2, width=width, height=height)
+        gt = t.make_gt_scene(jax.random.PRNGKey(7), n=30)
+        images = [t.render_gt(gt, c, cfg) for c in cams]
+        rng = np.random.default_rng(0)
+        state, optimizers, deform = t._make_state(
+            jax.random.PRNGKey(0), 64,
+            (rng.normal(scale=0.5, size=(30, 3)).astype(np.float32),
+             rng.uniform(0, 255, (30, 3)).astype(np.float32)),
+            OptimizersConfig(max_steps=200),
+        )
+        step_fn = make_train_step(
+            cfg, DensifyConfig(refine_start=10**9), optimizers,
+            deform.apply, num_train_data=2,
+        )
+        batch = {
+            "image": images[1],
+            # constant nonzero target so the flow term is O(1), not O(eps)
+            "flow": jnp.full((height, width, 2), 3.0),
+            "depth0": jnp.full((height, width, 1), 4.0),
+        }
+        _, m = step_fn(state, cams[1], batch, 0, camera0=cams[0])
+        return float(m["loss"]), float(m["flow_2d"]), float(m["main_loss"])
+
+    base = SplatConfig(
+        warm_up=0, sh_degree=3, backend="reference", background_color="black",
+        flow_loss_weight=0.1, flow_3d_loss_weight=0.0,
+    )
+    # parity at the reference size: px_ref == max(H, W) is a no-op
+    tot_legacy, fl_legacy, _ = total_for(base, 32, 32)
+    tot_ref, fl_ref, _ = total_for(dc.replace(base, flow_px_ref=32.0), 32, 32)
+    np.testing.assert_allclose(tot_ref, tot_legacy, rtol=1e-6)
+    np.testing.assert_allclose(fl_ref, fl_legacy, rtol=1e-6)
+
+    # at 2x resolution the flow CONTRIBUTION (total - main - scale_reg)
+    # carries the 0.5 normalizer vs the legacy path on the same frames
+    tot64_legacy, fl64, main64 = total_for(base, 64, 64)
+    tot64_ref, fl64_r, main64_r = total_for(dc.replace(base, flow_px_ref=32.0), 64, 64)
+    np.testing.assert_allclose(fl64_r, fl64, rtol=1e-6)  # raw metric unchanged
+    contrib_legacy = tot64_legacy - main64
+    contrib_ref = tot64_ref - main64_r
+    np.testing.assert_allclose(contrib_ref, 0.5 * contrib_legacy, rtol=1e-4)
