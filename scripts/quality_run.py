@@ -246,6 +246,12 @@ def main():
         help="force the CPU backend (the axon sitecustomize ignores "
         "JAX_PLATFORMS; this must be set before first jax use)",
     )
+    ap.add_argument("--warm-up", type=int, default=None,
+                    help="override the deform warm-up step (0 recommended at "
+                    ">=640px; see the high-resolution transient note below)")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="pallas intersection chunk override (256 doubles the "
+                    "SMEM isect-capacity ceiling at ~5%% step cost)")
     ap.add_argument("--gt-scale-mul", type=float, default=1.0,
                     help="multiply GT Gaussian world sizes (shrink for "
                     "high-res scenes; see make_scene)")
@@ -350,6 +356,21 @@ def main():
             ),
             optimizers=dc.replace(cfg.optimizers, max_steps=args.steps),
         )
+    if args.warm_up is not None:
+        # High-resolution runs: the reference's binary warm-up flip applies an
+        # UNTRAINED torch-default-init deform head (ref freegaussian_model.py
+        # :1086-1089 — no zero init) to the full scene in one step; the
+        # additive d_scale shock inflates footprints ~100x. On CUDA that's a
+        # survivable slow step; at the TPU SMEM isect ceiling it drops >90%
+        # of intersections and training never recovers (round-5 640px runs,
+        # docs/QUALITY_R5.md). warm_up=0 trains the heads to near-identity
+        # while the scene is still small — the reference's own stage-2
+        # schedule uses warm_up: 0.
+        cfg = dc.replace(cfg, splat=dc.replace(cfg.splat, warm_up=args.warm_up))
+    if args.chunk is not None:
+        # chunk=256 doubles the SMEM-safe intersection-capacity ceiling
+        # (segment tables ~ capacity/chunk) at a measured ~5% step cost
+        cfg = dc.replace(cfg, splat=dc.replace(cfg.splat, chunk=args.chunk))
     if args.no_flow:
         cfg = dc.replace(
             cfg,
