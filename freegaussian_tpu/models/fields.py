@@ -54,18 +54,27 @@ class TorchLinear(nn.Module):
 
     features: int
     compute_dtype: Any = jnp.float32
+    # Multiplies BOTH the kernel and bias init (torch-default otherwise).
+    # Near-zero (e.g. 1e-4) makes the layer's output ~identity-scale at init
+    # — used for the deform output heads so the warm-up flip is a no-op
+    # instead of a footprint shock (see DeformField.head_init_scale).
+    init_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x):
         inputs = x if isinstance(x, (list, tuple)) else [x]
         fan_in = sum(i.shape[-1] for i in inputs)
         bound = 1.0 / math.sqrt(fan_in)
+        s = self.init_scale
         kernel = self.param(
-            "kernel", torch_linear_kernel_init, (fan_in, self.features)
+            "kernel",
+            (torch_linear_kernel_init if s == 1.0 else
+             lambda k, sh, dt=jnp.float32: s * torch_linear_kernel_init(k, sh, dt)),
+            (fan_in, self.features),
         )
         bias = self.param(
             "bias",
-            lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+            lambda key, shape, dtype=jnp.float32: s * jax.random.uniform(
                 key, shape, dtype, -bound, bound
             ),
             (self.features,),
@@ -97,6 +106,18 @@ class DeformField(nn.Module):
     multires: int = 10
     is_blender: bool = True  # reference instantiates with is_blender=True (:198)
     compute_dtype: Any = jnp.float32
+    # Init scale for the four OUTPUT heads (w/v/rotation/scaling). The
+    # reference keeps torch-default init on the heads (freegaussian_model.py
+    # :1086-1089), so at the warm-up flip an untrained head applies ~U(+-0.06)
+    # bias offsets to every Gaussian — ~6 deg rotations and additive d_scale
+    # that inflate screen footprints ~100x for one transient phase. On CUDA
+    # that's survivable waste; at the TPU SMEM intersection ceiling it drops
+    # >90% of intersections and training never recovers (640px runs,
+    # docs/QUALITY_R5.md). A near-zero head init (deformable-NeRF practice,
+    # e.g. Nerfies' zero-init final layers) makes the flip exactly
+    # identity-scale; the SE(3) form forbids EXACT zero (theta = |w| is a
+    # divisor), so a tiny scale is used instead. 1.0 = reference-faithful.
+    head_init_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x, t):
@@ -131,15 +152,16 @@ class DeformField(nn.Module):
         if not isinstance(h, (list, tuple)):
             h = [h]
         h = [a.astype(jnp.float32) for a in h]
-        w = TorchLinear(3)(h)
-        v = TorchLinear(3)(h)
+        his = self.head_init_scale
+        w = TorchLinear(3, init_scale=his)(h)
+        v = TorchLinear(3, init_scale=his)(h)
         theta = safe_norm(w, axis=-1, keepdims=True)
         # Reference quirk kept verbatim: the 1e-5 is added after the division.
         w = w / theta + 1e-5
         v = v / theta + 1e-5
         d_xyz = SE3Screw(w=w, v=v, theta=theta)
-        rotation = TorchLinear(4)(h)
-        scaling = TorchLinear(3)(h)
+        rotation = TorchLinear(4, init_scale=his)(h)
+        scaling = TorchLinear(3, init_scale=his)(h)
         return d_xyz, rotation, scaling
 
 

@@ -116,6 +116,11 @@ class SplatConfig:
     # (legacy). The reference never wired these losses (SURVEY §2.1), so this
     # normalization is this repo's definition, set in configs/sim/base.yaml.
     flow_px_ref: float = 0.0
+    # Init scale for the deform MLP's output heads. 1.0 = the reference's
+    # torch-default init; near-zero (1e-4, set in configs/sim/base.yaml)
+    # makes the deform warm-up flip identity-scale instead of a footprint
+    # shock — see DeformField.head_init_scale for the full story.
+    deform_head_init_scale: float = 1.0
     # Pallas tuning: chunk = intersections per kernel block; capacity factor
     # bounds intersections at factor * N (overflow drops deepest isects of the
     # largest Gaussians — raise it if isect counts approach the cap).
@@ -138,6 +143,7 @@ def make_deform_field(cfg: SplatConfig) -> DeformField:
     return DeformField(
         is_blender=cfg.is_blender,
         compute_dtype=_jnp.bfloat16 if cfg.deform_bf16 else _jnp.float32,
+        head_init_scale=cfg.deform_head_init_scale,
     )
 
 
