@@ -222,3 +222,30 @@ def test_flow_px_ref_resolution_invariance():
     contrib_legacy = tot64_legacy - main64
     contrib_ref = tot64_ref - main64_r
     np.testing.assert_allclose(contrib_ref, 0.5 * contrib_legacy, rtol=1e-4)
+
+
+def test_deform_head_init_scale_identity():
+    """head_init_scale=1e-4 makes the warm-up flip identity-scale: the
+    untrained deform displaces points by O(1e-5) world units and the
+    additive d_scale/d_rot heads output O(1e-5), vs ~0.12 at the
+    reference's torch-default head init (the 640px footprint-shock
+    regression; see DeformField.head_init_scale)."""
+    from freegaussian_tpu.models.splat_model import (
+        SplatConfig, apply_se3_deform, make_deform_field,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (500, 3))
+    t = jnp.full((1, 1), 0.37)
+
+    f = make_deform_field(SplatConfig(deform_head_init_scale=1e-4))
+    v = f.init(jax.random.PRNGKey(1), x, t)
+    d_xyz, rot, sc = f.apply(v, x, t)
+    assert float(jnp.abs(apply_se3_deform(x, d_xyz) - x).max()) < 1e-3
+    assert float(jnp.abs(sc).max()) < 1e-3
+    assert float(jnp.abs(rot).max()) < 1e-3
+
+    # reference-faithful default: heads keep torch-default magnitude
+    f0 = make_deform_field(SplatConfig())
+    v0 = f0.init(jax.random.PRNGKey(1), x, t)
+    _, _, sc0 = f0.apply(v0, x, t)
+    assert float(jnp.abs(sc0).max()) > 1e-2
