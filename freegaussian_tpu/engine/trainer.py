@@ -120,26 +120,12 @@ class Trainer:
 
         self.deform = make_deform_field(config.splat)
         self.deform_apply = make_deform_apply(config.splat, self.deform)
+        # deform_head_init_scale is applied at INIT TIME inside DeformField
+        # (fields.py TorchLinear.init_scale) so every consumer — Trainer,
+        # bench, graft entry — gets the softened heads, not just this path.
+        # (The round-3 post-init rescale that lived here double-applied the
+        # factor once the field-level init landed; removed in round 5.)
         deform_vars = self.deform.init(k_deform, jnp.zeros((1, 3)), jnp.zeros((1, 1)))
-        if config.splat.deform_head_init_scale != 1.0:
-            # Soften the warm-up-boundary transient: at random init the
-            # deform output heads emit O(1) values and the ADDITIVE
-            # d_scaling (ref freegaussian_model.py:844) briefly inflates
-            # every Gaussian ~5x in screen radius when warm-up ends — the
-            # intersection-count runaway that drove the round-2 capacity
-            # overflow. Scaling the head layers keeps reference semantics
-            # (1.0 default) but lets configs opt into a gentle start.
-            s = config.splat.deform_head_init_scale
-            heads = sorted(
-                deform_vars["params"].keys(),
-                key=lambda k: int(k.split("_")[-1]),
-            )[-4:]
-            deform_vars = {
-                "params": {
-                    k: (jax.tree.map(lambda a: a * s, v) if k in heads else v)
-                    for k, v in deform_vars["params"].items()
-                }
-            }
         self.control = ControlField()
         from ..models.splat_model import make_control_apply
 
@@ -401,6 +387,7 @@ class Trainer:
         new_cap = None
         low = num > 0 and num < 0.35 * cap
         self._isect_low_streak = self._isect_low_streak + 1 if low else 0
+        self._isect_recent = (getattr(self, "_isect_recent", []) + [num])[-10:]
         if num > 0.85 * cap:
             new_cap = 2 * cap
             ceiling = self._isect_capacity_ceiling()
@@ -419,24 +406,33 @@ class Trainer:
             low
             and self._isect_low_streak >= 10  # ~100 steps of stable low
             and cap > (1 << 14)
-            and self._isect_shrinks < 2
+            and self.state.step - getattr(self, "_isect_last_rebuild", -(1 << 30))
+            >= 1500
         ):
             # SHRINK: with the precull (ops/tiles.py) `num_isects` counts
             # KEPT pairs, typically ~2.7x below the bbox totals the initial
             # alive-count sizing assumes — every capacity-sized cost (sort,
             # gathers, cumsum, reduction) scales with the cap. Headroom 1.35
-            # (r4 A/B: 1.5 -> 1.3 bought +9.4% step; 1.35 keeps an ~11%
-            # occupancy margin to the 0.85 regrow trigger against
-            # densification jumps). Hysteresis: shrink lands at ~74%
-            # occupancy, regrow fires at 85%; at most 2 shrinks per run
-            # (each re-jit costs minutes on the tunneled chip).
-            new_cap = max(int(1.35 * num), 1 << 14)
+            # over the recent-window MAX (not the instant reading — the
+            # scheduled opacity resets spike isects ~4x for ~100 steps, and a
+            # shrink sized to a post-spike trough would regrow immediately).
+            # Hysteresis: shrink lands at ~74% occupancy, regrow fires at
+            # 85%. Rebuild frequency is bounded by a per-run step COOLDOWN
+            # (>=1500 steps since the last rebuild) rather than the old
+            # 2-shrink lifetime cap: a full sim schedule resets opacity every
+            # 3000 steps, and a run that exhausts its shrinks early then
+            # pays ceiling-sized kernels (12x measured) for the rest of
+            # training (round-5 640px run, docs/NOTES_ROUND5.md).
+            new_cap = max(int(1.35 * max(self._isect_recent)), 1 << 14)
+            if new_cap >= cap:
+                new_cap = None  # recent max too close to the cap: not worth a re-jit
             self._isect_shrinks += 1
         if new_cap is not None:
             splat = dataclasses.replace(
                 self.config.splat, isect_capacity=new_cap
             )
             self.config = dataclasses.replace(self.config, splat=splat)
+            self._isect_last_rebuild = int(self.state.step)
             self._rebuild_step_fn()
 
     def _isect_capacity_ceiling(self) -> int:

@@ -52,12 +52,6 @@ class SplatConfig:
     # bf16 trunk matmuls in the deform MLP (f32 master params + f32 heads);
     # ~2x on the v5e MXU, measured parity-safe for training quality.
     deform_bf16: bool = True
-    # Init scale for the deform OUTPUT heads (branch_w/v, rotation, scaling).
-    # 1.0 = reference parity (torch-default head init; the additive d_scaling
-    # then inflates radii ~5x for a transient when warm-up ends). <1 softens
-    # that warm-up-boundary transient — the trigger of intersection-count
-    # runaways on articulated scenes.
-    deform_head_init_scale: float = 1.0
     # rematerialize the deform trunk in backward. With the r2-era f32 chain,
     # recompute beat storing (6.9 vs 5.8 ms at N=100k); with bf16 activations
     # + fused heads the balance flipped (r4 A/B: remat 15.73M px/s, stored
